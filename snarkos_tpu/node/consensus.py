@@ -1,0 +1,134 @@
+"""Consensus facade: mempool intake + subdag -> block advancement.
+
+Re-creates `node/consensus/src/lib.rs:90-530` (SURVEY.md §1 layer 5):
+``add_unconfirmed_solution`` / ``add_unconfirmed_transaction`` with seen-
+LRU + ledger-contains gates and deploy/execute interleaving, and the
+commit path: BFT subdag -> prepare block -> check -> advance, reinserting
+transmissions into the worker on failure.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+from collections import OrderedDict
+from typing import Optional
+
+from snarkos_tpu.node.bft.bft import BFT
+from snarkos_tpu.node.bft.primary import Primary
+from snarkos_tpu.node.bft.storage import BFTMemoryService, NarwhalStorage, StorageService
+from snarkos_tpu.node.types import Block, Solution, Subdag, Transaction
+
+log = logging.getLogger(__name__)
+
+CAPACITY_FOR_SOLUTIONS = 1 << 10
+CAPACITY_FOR_TRANSACTIONS = 1 << 12
+
+
+class Consensus:
+    def __init__(self, account, ledger, transport,
+                 storage_service: Optional[StorageService] = None,
+                 on_block: Optional[callable] = None):
+        self.ledger = ledger
+        storage_service = storage_service or BFTMemoryService()
+        self.storage = NarwhalStorage(ledger, storage_service)
+        self.primary = Primary(account, ledger, self.storage, transport)
+        self.bft = BFT(self.primary, on_commit=self._process_bft_subdag)
+        self.seen_solutions: OrderedDict = OrderedDict()
+        self.seen_transactions: OrderedDict = OrderedDict()
+        self.solutions_queue: OrderedDict = OrderedDict()
+        self.deployments_queue: OrderedDict = OrderedDict()
+        self.executions_queue: OrderedDict = OrderedDict()
+        self.on_block = on_block  # async fn(block) — e.g. gossip hooks
+        self._running = False
+
+    # -- lifecycle -----------------------------------------------------------
+    async def run(self):
+        self._running = True
+        await self.primary.run()
+        asyncio.create_task(self._mempool_drain_loop())
+
+    async def shut_down(self):
+        self._running = False
+        await self.primary.shut_down()
+
+    # -- intake (consensus/lib.rs:288-443) -----------------------------------
+    async def add_unconfirmed_solution(self, sol: Solution) -> None:
+        sid = sol.id
+        if sid in self.seen_solutions:
+            raise ValueError("solution already seen")
+        self._lru_insert(self.seen_solutions, sid, CAPACITY_FOR_SOLUTIONS * 4)
+        if self.ledger.contains_transmission(sid):
+            raise ValueError("solution already committed")
+        if len(self.solutions_queue) >= CAPACITY_FOR_SOLUTIONS:
+            raise ValueError("solutions queue is full")
+        self.solutions_queue[sid] = sol
+
+    async def add_unconfirmed_transaction(self, tx: Transaction) -> None:
+        tid = tx.id
+        if tid in self.seen_transactions:
+            raise ValueError("transaction already seen")
+        self._lru_insert(self.seen_transactions, tid, CAPACITY_FOR_TRANSACTIONS * 4)
+        if self.ledger.contains_transmission(tid):
+            raise ValueError("transaction already committed")
+        queue = self.deployments_queue if tx.is_deploy else self.executions_queue
+        if len(queue) >= CAPACITY_FOR_TRANSACTIONS:
+            raise ValueError("transactions queue is full")
+        queue[tid] = tx
+
+    @staticmethod
+    def _lru_insert(cache: OrderedDict, key, cap: int):
+        cache[key] = True
+        while len(cache) > cap:
+            cache.popitem(last=False)
+
+    async def _mempool_drain_loop(self):
+        """Interleaved drain into the worker: solutions first, then <=1
+        deployment per interval + executions (consensus/lib.rs:402-424)."""
+        while self._running:
+            try:
+                await asyncio.sleep(0.25)
+                for _ in range(min(len(self.solutions_queue), 8)):
+                    _, sol = self.solutions_queue.popitem(last=False)
+                    try:
+                        await self.primary.worker.process_unconfirmed_solution(sol)
+                    except Exception as exc:
+                        log.debug("solution rejected: %s", exc)
+                if self.deployments_queue:
+                    _, tx = self.deployments_queue.popitem(last=False)
+                    try:
+                        await self.primary.worker.process_unconfirmed_transaction(tx)
+                    except Exception as exc:
+                        log.debug("deployment rejected: %s", exc)
+                for _ in range(min(len(self.executions_queue), 16)):
+                    _, tx = self.executions_queue.popitem(last=False)
+                    try:
+                        await self.primary.worker.process_unconfirmed_transaction(tx)
+                    except Exception as exc:
+                        log.debug("execution rejected: %s", exc)
+            except asyncio.CancelledError:
+                return
+            except Exception as exc:
+                log.debug("mempool drain error: %s", exc)
+
+    # -- commit path (consensus/lib.rs:461-530) ------------------------------
+    async def _process_bft_subdag(self, subdag: Subdag, transmissions: dict) -> None:
+        try:
+            block = await asyncio.get_event_loop().run_in_executor(
+                None, self._try_advance, subdag, transmissions
+            )
+        except Exception as exc:
+            log.warning("block advance failed: %s; reinserting transmissions", exc)
+            self.primary.worker.reinsert(transmissions)
+            return
+        log.info("advanced to block %d (round %d, %d transmissions)",
+                 block.height, block.round, len(block.transmissions))
+        if self.on_block is not None:
+            await self.on_block(block)
+
+    def _try_advance(self, subdag: Subdag, transmissions: dict) -> Block:
+        ordered = list(transmissions.values())
+        block = self.ledger.prepare_advance_to_next_quorum_block(subdag, ordered)
+        self.ledger.check_next_block(block)
+        self.ledger.advance_to_next_block(block)
+        return block

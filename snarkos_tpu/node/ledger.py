@@ -1,0 +1,428 @@
+"""Ledger: the chain state machine + the LedgerService seams.
+
+Re-creates the reference's ledger abstraction (SURVEY.md §2.6,
+node/bft/ledger-service/src/traits.rs:30-123) with four implementations:
+``CoreLedgerService`` (real chain), ``MockLedgerService`` (fixed committee,
+no verification — BFT unit tests), ``TranslucentLedgerService`` (skips
+check_next_block — devnet e2e), ``ProverLedgerService`` (solution checks
+only). The chain itself is an append-only block log with in-memory
+indices; verification hot paths (solutions, transaction KZG openings) run
+through the TPU puzzle/KZG engines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import threading
+import time
+from typing import Optional
+
+from snarkos_tpu.crypto import params
+from snarkos_tpu.crypto.ref import g1 as ref_g1, kzg as ref_kzg, poseidon as ref_poseidon
+from snarkos_tpu.node import types
+from snarkos_tpu.node.types import (
+    Block,
+    Committee,
+    Solution,
+    Subdag,
+    Transaction,
+    Transmission,
+    TransmissionID,
+    genesis_block,
+    sha256d,
+)
+
+R = params.FR_MODULUS
+TX_CHALLENGE_DOMAIN = "snarkos_tpu.transaction.challenge"
+
+MAX_SOLUTIONS_PER_BLOCK = 4
+
+
+def transaction_challenge(payload: bytes, commitment: bytes) -> int:
+    """Fiat-Shamir opening point binding the payload to the commitment."""
+    ph = int.from_bytes(hashlib.sha256(payload).digest(), "little") % R
+    cx = int.from_bytes(commitment[:48], "little") % R
+    return ref_poseidon.hash1([ph, cx], rate=2, domain=TX_CHALLENGE_DOMAIN)
+
+
+class Ledger:
+    """The chain: blocks, indices, committee, epoch state."""
+
+    def __init__(self, committee: Committee, storage_path: Optional[str] = None):
+        self.committee = committee
+        self.storage_path = storage_path
+        self.blocks: list[Block] = []
+        self.block_index: dict[bytes, int] = {}
+        self.committed_ids: set[TransmissionID] = set()
+        self.committed_cert_ids: set[bytes] = set()
+        self.lock = threading.RLock()
+        self._load_or_init()
+
+    # -- persistence ---------------------------------------------------------
+    def _load_or_init(self):
+        loaded = False
+        if self.storage_path and os.path.exists(self.storage_path):
+            with open(self.storage_path, "rb") as f:
+                data = f.read()
+            pos = 0
+            while pos + 4 <= len(data):
+                ln = int.from_bytes(data[pos : pos + 4], "little")
+                blk = Block.from_bytes(data[pos + 4 : pos + 4 + ln])
+                self._index_block(blk)
+                pos += 4 + ln
+            loaded = bool(self.blocks)
+        if not loaded:
+            self._index_block(genesis_block(self.committee))
+            self._persist(self.blocks[0])
+
+    def _persist(self, block: Block):
+        if not self.storage_path:
+            return
+        os.makedirs(os.path.dirname(self.storage_path) or ".", exist_ok=True)
+        raw = block.to_bytes()
+        with open(self.storage_path, "ab") as f:
+            f.write(len(raw).to_bytes(4, "little") + raw)
+
+    def _index_block(self, block: Block):
+        self.blocks.append(block)
+        self.block_index[block.hash] = block.height
+        for t in block.transmissions:
+            self.committed_ids.add(t.id)
+        if block.subdag:
+            for cert in block.subdag.all_certificates():
+                self.committed_cert_ids.add(cert.id)
+
+    # -- queries -------------------------------------------------------------
+    @property
+    def latest_block(self) -> Block:
+        return self.blocks[-1]
+
+    @property
+    def latest_height(self) -> int:
+        return self.blocks[-1].height
+
+    @property
+    def latest_round(self) -> int:
+        return self.blocks[-1].round
+
+    @property
+    def latest_epoch_hash(self) -> bytes:
+        return self.blocks[-1].epoch_hash
+
+    @property
+    def latest_proof_target(self) -> int:
+        return self.blocks[-1].proof_target
+
+    def get_block(self, height: int) -> Block:
+        if not 0 <= height < len(self.blocks):
+            raise KeyError(f"no block at height {height}")
+        return self.blocks[height]
+
+    def get_hash(self, height: int) -> bytes:
+        return self.get_block(height).hash
+
+    def contains_block_height(self, height: int) -> bool:
+        return 0 <= height < len(self.blocks)
+
+    def contains_transmission(self, tid: TransmissionID) -> bool:
+        return tid in self.committed_ids
+
+    def contains_certificate(self, cid: bytes) -> bool:
+        return cid in self.committed_cert_ids
+
+    # -- block construction --------------------------------------------------
+    def _next_epoch_hash(self, height: int) -> bytes:
+        """Epoch rotates every EPOCH_BLOCKS; derived from the epoch index
+        and the hash of the epoch's starting block."""
+        epoch_index = height // Block.EPOCH_BLOCKS
+        start = epoch_index * Block.EPOCH_BLOCKS
+        anchor = self.blocks[min(start, len(self.blocks) - 1)].hash
+        return sha256d(b"snarkos_tpu.epoch" + epoch_index.to_bytes(8, "little") + anchor)
+
+    def prepare_advance_to_next_quorum_block(
+        self, subdag: Subdag, transmissions: list[Transmission]
+    ) -> Block:
+        """ledger-service/src/ledger.rs:344-365 equivalent: build the next
+        block from a committed subdag."""
+        prev = self.latest_block
+        height = prev.height + 1
+        # cap solutions per block, preserve commit order
+        n_sol = 0
+        kept = []
+        for t in transmissions:
+            if t.kind == types.TX_SOLUTION:
+                if n_sol >= MAX_SOLUTIONS_PER_BLOCK:
+                    continue
+                n_sol += 1
+            kept.append(t)
+        return Block(
+            height=height,
+            previous_hash=prev.hash,
+            timestamp=max(int(time.time()), prev.timestamp + 1),
+            round=subdag.anchor_round,
+            epoch_hash=self._next_epoch_hash(height),
+            proof_target=prev.proof_target,
+            subdag=subdag,
+            transmissions=tuple(kept),
+        )
+
+    def check_next_block(self, block: Block) -> None:
+        """Raises on invalid block (structure + subdag + transmissions)."""
+        prev = self.latest_block
+        if block.height != prev.height + 1:
+            raise ValueError(f"height {block.height} != {prev.height + 1}")
+        if block.previous_hash != prev.hash:
+            raise ValueError("previous hash mismatch")
+        if block.timestamp <= prev.timestamp:
+            raise ValueError("non-increasing timestamp")
+        if block.epoch_hash != self._next_epoch_hash(block.height):
+            raise ValueError("wrong epoch hash")
+        for t in block.transmissions:
+            if t.id in self.committed_ids:
+                raise ValueError(f"transmission {t.id} already committed")
+        if block.subdag is not None:
+            self._check_subdag(block)
+        # verify transmissions (the [HOT] path)
+        for t in block.transmissions:
+            obj = t.deserialize()
+            if isinstance(obj, Solution):
+                if not self._verify_solution_for(obj, block):
+                    raise ValueError("invalid solution in block")
+            else:
+                if not verify_transaction(obj):
+                    raise ValueError("invalid transaction in block")
+
+    def _check_subdag(self, block: Block):
+        sub = block.subdag
+        if not sub.rounds:
+            raise ValueError("empty subdag")
+        if sub.anchor_round % 2 != 0:
+            raise ValueError("anchor round must be even")
+        if block.round != sub.anchor_round:
+            raise ValueError("block round != anchor round")
+        leader_cert = sub.leader_certificate
+        committee = self.committee
+        expected_leader = committee.get_leader(sub.anchor_round)
+        if leader_cert.author != expected_leader:
+            raise ValueError("wrong leader certificate")
+        for _, certs in sub.rounds:
+            for cert in certs:
+                if not cert.verify(committee):
+                    raise ValueError("invalid certificate in subdag")
+
+    def _verify_solution_for(self, sol: Solution, block: Block) -> bool:
+        from snarkos_tpu.ops.puzzle import global_puzzle
+
+        # the solution must target the PREVIOUS block's epoch (it was mined
+        # before this block existed)
+        prev = self.blocks[block.height - 1] if block.height >= 1 else self.latest_block
+        if sol.epoch_hash != prev.epoch_hash:
+            return False
+        return global_puzzle().verify(
+            sol.epoch_hash, sol.address, sol.nonce, sol.commitment,
+            sol.eval_y, sol.witness, prev.proof_target,
+        )
+
+    def advance_to_next_block(self, block: Block) -> None:
+        with self.lock:
+            self._index_block(block)
+            self._persist(block)
+
+    # -- sync helpers --------------------------------------------------------
+    def latest_block_locators(self):
+        from snarkos_tpu.node.messages import BlockLocators
+
+        h = self.latest_height
+        lo = max(0, h - BlockLocators.NUM_RECENTS + 1)
+        recents = tuple((i, self.get_hash(i)) for i in range(lo, h + 1))
+        checkpoints = tuple(
+            (i, self.get_hash(i))
+            for i in range(0, h + 1, BlockLocators.CHECKPOINT_INTERVAL)
+        )
+        return BlockLocators(recents=recents, checkpoints=checkpoints)
+
+
+# --------------------------------------------------------------------------
+# transaction verification ([HOT]: KZG pairing check on host, TPU for batch)
+# --------------------------------------------------------------------------
+
+
+def verify_transaction(tx: Transaction) -> bool:
+    from snarkos_tpu.ops.puzzle import _g1_from_bytes, global_puzzle
+
+    try:
+        c_pt = _g1_from_bytes(tx.commitment)
+        w_pt = _g1_from_bytes(tx.witness)
+    except ValueError:
+        return False
+    if not (0 <= tx.eval_y < R and 0 <= tx.challenge < R):
+        return False
+    if tx.challenge != transaction_challenge(tx.payload, tx.commitment):
+        return False
+    srs = global_puzzle().srs.srs_ref
+    return ref_kzg.verify(srs, c_pt, tx.challenge, tx.eval_y, w_pt)
+
+
+def create_transaction(payload: bytes, fee: int = 0, degree: int = 16,
+                       is_deploy: bool = False) -> Transaction:
+    """Build a valid transaction: commit to a payload-derived polynomial and
+    open it at the Fiat-Shamir challenge (host-side; dev/test path)."""
+    from snarkos_tpu.ops.puzzle import _g1_to_bytes, global_puzzle
+
+    srs = global_puzzle().srs.srs_ref
+    seed = hashlib.sha256(b"tx.poly" + payload).digest()
+    coeffs = [
+        int.from_bytes(hashlib.sha256(seed + i.to_bytes(4, "little")).digest(), "little") % R
+        for i in range(degree)
+    ]
+    c_pt = ref_kzg.commit(srs, coeffs)
+    c_bytes = _g1_to_bytes(c_pt)
+    z = transaction_challenge(payload, c_bytes)
+    y, w_pt = ref_kzg.open_at(srs, coeffs, z)
+    return Transaction(
+        payload=payload, fee=fee, commitment=c_bytes, challenge=z,
+        eval_y=y, witness=_g1_to_bytes(w_pt), is_deploy=is_deploy,
+    )
+
+
+# --------------------------------------------------------------------------
+# LedgerService seams (traits.rs:30-123 equivalents)
+# --------------------------------------------------------------------------
+
+
+class LedgerService:
+    """The interface consensus/sync/workers program against."""
+
+    def latest_round(self) -> int: raise NotImplementedError
+    def latest_height(self) -> int: raise NotImplementedError
+    def latest_block(self) -> Block: raise NotImplementedError
+    def get_block(self, height: int) -> Block: raise NotImplementedError
+    def current_committee(self) -> Committee: raise NotImplementedError
+    def committee_lookback_for(self, round_: int) -> Committee: raise NotImplementedError
+    def contains_certificate(self, cid: bytes) -> bool: raise NotImplementedError
+    def contains_transmission(self, tid: TransmissionID) -> bool: raise NotImplementedError
+    def check_solution_basic(self, sol: Solution) -> None: raise NotImplementedError
+    def check_transaction_basic(self, tx: Transaction) -> None: raise NotImplementedError
+    def check_next_block(self, block: Block) -> None: raise NotImplementedError
+    def prepare_advance_to_next_quorum_block(self, subdag, transmissions) -> Block:
+        raise NotImplementedError
+    def advance_to_next_block(self, block: Block) -> None: raise NotImplementedError
+
+
+class CoreLedgerService(LedgerService):
+    def __init__(self, ledger: Ledger):
+        self.ledger = ledger
+        self._seen_tx_cache: dict[TransmissionID, bool] = {}
+
+    def latest_round(self): return self.ledger.latest_round
+    def latest_height(self): return self.ledger.latest_height
+    def latest_block(self): return self.ledger.latest_block
+    def get_block(self, height): return self.ledger.get_block(height)
+    def current_committee(self): return self.ledger.committee
+
+    def committee_lookback_for(self, round_):
+        # static committee in round 1 of the build; the seam preserves the
+        # reference's lookback API (gateway.rs:328-376)
+        return self.ledger.committee
+
+    def contains_certificate(self, cid): return self.ledger.contains_certificate(cid)
+    def contains_transmission(self, tid): return self.ledger.contains_transmission(tid)
+
+    def check_solution_basic(self, sol: Solution) -> None:
+        from snarkos_tpu.ops.puzzle import global_puzzle
+
+        if sol.epoch_hash != self.ledger.latest_epoch_hash:
+            raise ValueError("solution targets a stale epoch")
+        ok = global_puzzle().verify(
+            sol.epoch_hash, sol.address, sol.nonce, sol.commitment,
+            sol.eval_y, sol.witness, self.ledger.latest_proof_target,
+        )
+        if not ok:
+            raise ValueError("invalid puzzle solution")
+
+    def check_transaction_basic(self, tx: Transaction) -> None:
+        tid = tx.id
+        cached = self._seen_tx_cache.get(tid)
+        if cached is True:
+            return
+        if cached is False:
+            raise ValueError("invalid transaction (cached)")
+        ok = verify_transaction(tx)
+        if len(self._seen_tx_cache) > 10000:
+            self._seen_tx_cache.clear()
+        self._seen_tx_cache[tid] = ok
+        if not ok:
+            raise ValueError("invalid transaction")
+
+    def check_next_block(self, block): self.ledger.check_next_block(block)
+
+    def prepare_advance_to_next_quorum_block(self, subdag, transmissions):
+        return self.ledger.prepare_advance_to_next_quorum_block(subdag, transmissions)
+
+    def advance_to_next_block(self, block): self.ledger.advance_to_next_block(block)
+
+
+class TranslucentLedgerService(CoreLedgerService):
+    """check_next_block is a no-op (devnet e2e; translucent.rs:36-60)."""
+
+    def check_next_block(self, block):
+        pass
+
+
+class MockLedgerService(LedgerService):
+    """Fixed committee, no verification (ledger-service/src/mock.rs:34-51)."""
+
+    def __init__(self, committee: Committee):
+        self.committee = committee
+        self._height = 0
+        self._blocks = [genesis_block(committee)]
+
+    def latest_round(self): return self._blocks[-1].round
+    def latest_height(self): return self._blocks[-1].height
+    def latest_block(self): return self._blocks[-1]
+    def get_block(self, height): return self._blocks[height]
+    def current_committee(self): return self.committee
+    def committee_lookback_for(self, round_): return self.committee
+    def contains_certificate(self, cid): return False
+    def contains_transmission(self, tid): return False
+    def check_solution_basic(self, sol): pass
+    def check_transaction_basic(self, tx): pass
+    def check_next_block(self, block): pass
+
+    def prepare_advance_to_next_quorum_block(self, subdag, transmissions):
+        prev = self._blocks[-1]
+        return Block(
+            height=prev.height + 1, previous_hash=prev.hash,
+            timestamp=prev.timestamp + 1, round=subdag.anchor_round,
+            epoch_hash=prev.epoch_hash, proof_target=prev.proof_target,
+            subdag=subdag, transmissions=tuple(transmissions),
+        )
+
+    def advance_to_next_block(self, block):
+        self._blocks.append(block)
+
+
+class ProverLedgerService(LedgerService):
+    """Everything fails except solution checks are no-ops
+    (prover.rs:32-187)."""
+
+    def __init__(self):
+        self._latest_epoch_hash = b"\x00" * 32
+        self._latest_proof_target = 1 << 8
+        self._latest_height = 0
+
+    def latest_round(self): return 0
+    def latest_height(self): return self._latest_height
+    def latest_block(self): raise RuntimeError("prover has no ledger")
+    def get_block(self, height): raise RuntimeError("prover has no ledger")
+    def current_committee(self): raise RuntimeError("prover has no committee")
+    def committee_lookback_for(self, round_): raise RuntimeError("prover has no committee")
+    def contains_certificate(self, cid): return False
+    def contains_transmission(self, tid): return False
+    def check_solution_basic(self, sol): pass
+    def check_transaction_basic(self, tx): raise RuntimeError("prover cannot check transactions")
+    def check_next_block(self, block): raise RuntimeError("prover cannot check blocks")
+    def prepare_advance_to_next_quorum_block(self, subdag, transmissions):
+        raise RuntimeError("prover cannot build blocks")
+    def advance_to_next_block(self, block): raise RuntimeError("prover cannot advance blocks")

@@ -1,0 +1,241 @@
+"""Batched multi-precision modular arithmetic in 16-bit limbs on int32 lanes.
+
+This is the field-arithmetic backend of the framework (SURVEY.md §7
+Phase 1; reference hot paths in §2.10 run this math inside snarkVM's Rust
+on rayon threads — here it is data-parallel across VPU lanes).
+
+Representation
+--------------
+A batch of field elements is an int32 array of shape ``(L, *batch)``:
+little-endian 16-bit limbs, limbs-first so that each limb row is a
+contiguous vector. Elements are kept in Montgomery form (x * R mod p,
+R = 2^(16 L)) and canonically reduced (< p, limbs < 2^16) between ops.
+
+Overflow analysis (why int32 never overflows)
+---------------------------------------------
+Products of two 16-bit limbs are computed with a wrapping int32 multiply:
+the bit pattern equals the true 32-bit product, and ``& 0xFFFF`` /
+``>> 16 & 0xFFFF`` extract the exact lo/hi halves regardless of sign.
+Column accumulators only ever sum 16-bit halves: a full Montgomery
+multiply contributes at most 2L lo/hi terms from the operand product,
+2L from the reduction, plus carry folds (< 2^8 each), so columns stay
+below 4L * 2^16 + L * 2^8 < 2^23 for L = 24 — far inside int32 range.
+
+The Montgomery reduction is SOS (separated operand scanning) with the
+per-limb factor m_i = t_i * (-p^-1 mod 2^16) mod 2^16; the final result
+is < 2p and one conditional subtraction canonicalizes it.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from snarkos_tpu.ops.fieldspec import LIMB_BITS, LIMB_MASK, FieldSpec
+
+# ---------------------------------------------------------------------------
+# helpers on lists of limb rows (each row: int32 array of the batch shape)
+# ---------------------------------------------------------------------------
+
+
+def _rows(x: jax.Array) -> list[jax.Array]:
+    return [x[i] for i in range(x.shape[0])]
+
+
+def _stack(rows: list[jax.Array]) -> jax.Array:
+    return jnp.stack(rows, axis=0)
+
+
+def _normalize(cols: list[jax.Array], nout: int) -> list[jax.Array]:
+    """Serial carry propagation: columns (possibly negative, |.| < 2^30)
+    -> ``nout`` canonical 16-bit limbs. Any further carry must be provably
+    zero at the call site."""
+    out = []
+    carry = None
+    for i in range(nout):
+        t = cols[i] if i < len(cols) else None
+        if t is None:
+            t = carry
+        elif carry is not None:
+            t = t + carry
+        out.append(t & LIMB_MASK)
+        carry = t >> LIMB_BITS  # arithmetic shift: exact floor for negatives
+    return out
+
+
+def _cond_sub_p(spec: FieldSpec, limbs: list[jax.Array]) -> list[jax.Array]:
+    """Subtract p once if value >= p (input < 2p, canonical limbs)."""
+    diff = []
+    borrow = None
+    for i in range(spec.nlimbs):
+        d = limbs[i] - spec.p_limbs[i]
+        if borrow is not None:
+            d = d - borrow
+        diff.append(d & LIMB_MASK)
+        borrow = (d >> LIMB_BITS) & 1
+    ge_p = borrow == 0
+    return [jnp.where(ge_p, d, l) for d, l in zip(diff, limbs)]
+
+
+# ---------------------------------------------------------------------------
+# public ops — all take/return (L, *batch) int32 arrays in Montgomery form
+# ---------------------------------------------------------------------------
+
+
+def add_impl(spec: FieldSpec, a: jax.Array, b: jax.Array) -> jax.Array:
+    cols = _rows(a + b)
+    return _stack(_cond_sub_p(spec, _normalize(cols, spec.nlimbs)))
+
+
+def sub_impl(spec: FieldSpec, a: jax.Array, b: jax.Array) -> jax.Array:
+    # a - b + p keeps every intermediate in (−2^16, 2^17); result < 2p.
+    cols = [ai - bi + pi for ai, bi, pi in zip(_rows(a), _rows(b), spec.p_limbs)]
+    return _stack(_cond_sub_p(spec, _normalize(cols, spec.nlimbs)))
+
+
+def neg_impl(spec: FieldSpec, a: jax.Array) -> jax.Array:
+    # p - a, then conditional subtract handles a == 0 (result p -> 0).
+    cols = [pi - ai for ai, pi in zip(_rows(a), spec.p_limbs)]
+    return _stack(_cond_sub_p(spec, _normalize(cols, spec.nlimbs)))
+
+
+def double_impl(spec: FieldSpec, a: jax.Array) -> jax.Array:
+    return add_impl(spec, a, a)
+
+
+def mont_mul_impl(spec: FieldSpec, a: jax.Array, b: jax.Array) -> jax.Array:
+    """a * b * R^{-1} mod p — the workhorse. ~2 L^2 int32 multiplies."""
+    L = spec.nlimbs
+    ar, br = _rows(a), _rows(b)
+    t: list = [None] * (2 * L + 1)
+
+    def acc(k, v):
+        t[k] = v if t[k] is None else t[k] + v
+
+    # operand product, columns of exact 16-bit halves
+    for i in range(L):
+        for j in range(L):
+            prod = ar[i] * br[j]
+            acc(i + j, prod & LIMB_MASK)
+            acc(i + j + 1, (prod >> LIMB_BITS) & LIMB_MASK)
+
+    # SOS Montgomery reduction
+    for i in range(L):
+        tcur = t[i]
+        carry = tcur >> LIMB_BITS
+        ti = tcur & LIMB_MASK
+        acc(i + 1, carry)
+        m = (ti * spec.n0inv) & LIMB_MASK
+        prod0 = m * spec.p_limbs[0]
+        # ti + lo(m*p0) is a multiple of 2^16 by construction of m
+        acc(i + 1, ((ti + (prod0 & LIMB_MASK)) >> LIMB_BITS) + ((prod0 >> LIMB_BITS) & LIMB_MASK))
+        for j in range(1, L):
+            prod = m * spec.p_limbs[j]
+            acc(i + j, prod & LIMB_MASK)
+            acc(i + j + 1, (prod >> LIMB_BITS) & LIMB_MASK)
+
+    out = _normalize(t[L : 2 * L + 1], L + 1)
+    # result < 2p < 2^(16 L): top column is provably zero after carries
+    return _stack(_cond_sub_p(spec, out[:L]))
+
+
+def mont_sqr_impl(spec: FieldSpec, a: jax.Array) -> jax.Array:
+    return mont_mul_impl(spec, a, a)
+
+
+def mont_pow_impl(spec: FieldSpec, a: jax.Array, e: int) -> jax.Array:
+    """a^e in Montgomery form (e a fixed Python int), via lax.scan over the
+    exponent bits so the traced graph stays O(one multiply)."""
+    if e == 0:
+        return broadcast_const(spec, 1, a.shape[1:])
+    bits = jnp.array([int(c) for c in bin(e)[2:]], dtype=jnp.int32)
+
+    def body(acc, bit):
+        acc = mont_sqr_impl(spec, acc)
+        with_mul = mont_mul_impl(spec, acc, a)
+        return jnp.where(bit != 0, with_mul, acc), None
+
+    init = broadcast_const(spec, 1, a.shape[1:])
+    out, _ = jax.lax.scan(body, init, bits)
+    return out
+
+
+def inv_impl(spec: FieldSpec, a: jax.Array) -> jax.Array:
+    """Batched inversion via Fermat: (aR)^(p-2) * R-chain = a^{-1} R.
+    Inverse of 0 is 0 (callers handle the point-at-infinity case)."""
+    return mont_pow_impl(spec, a, spec.p - 2)
+
+
+def to_mont_impl(spec: FieldSpec, a: jax.Array) -> jax.Array:
+    return mont_mul_impl(spec, a, broadcast_const(spec, spec.mont_r2, a.shape[1:], mont=False))
+
+
+def from_mont_impl(spec: FieldSpec, a: jax.Array) -> jax.Array:
+    return mont_mul_impl(spec, a, broadcast_const(spec, 1, a.shape[1:], mont=False))
+
+
+def is_zero_impl(spec: FieldSpec, a: jax.Array) -> jax.Array:
+    """Boolean array of batch shape (canonical input)."""
+    return jnp.all(a == 0, axis=0)
+
+
+def eq_impl(spec: FieldSpec, a: jax.Array, b: jax.Array) -> jax.Array:
+    return jnp.all(a == b, axis=0)
+
+
+@functools.lru_cache(maxsize=None)
+def _const_cache(spec: FieldSpec, value: int, mont: bool) -> tuple:
+    v = value % spec.p
+    if mont:
+        v = v * spec.mont_r % spec.p
+    return tuple((v >> (LIMB_BITS * i)) & LIMB_MASK for i in range(spec.nlimbs))
+
+
+def broadcast_const(spec: FieldSpec, value: int, batch_shape: tuple, mont: bool = True) -> jax.Array:
+    """A constant field element broadcast to (L, *batch_shape).
+
+    Note: when ``mont=True`` the value is interpreted as canonical and
+    converted; pass ``mont=False`` to place raw limbs (e.g. R^2 itself).
+    """
+    limbs = _const_cache(spec, value, mont)
+    col = jnp.array(limbs, dtype=jnp.int32).reshape((spec.nlimbs,) + (1,) * len(batch_shape))
+    return jnp.broadcast_to(col, (spec.nlimbs,) + tuple(batch_shape))
+
+
+def mul_small_impl(spec: FieldSpec, a: jax.Array, k: int) -> jax.Array:
+    """Multiply by a small constant 0 <= k <= 8 via add chain."""
+    assert 0 <= k <= 8
+    if k == 0:
+        return jnp.zeros_like(a)
+    acc = None
+    addend = a
+    while k:
+        if k & 1:
+            acc = addend if acc is None else add_impl(spec, acc, addend)
+        k >>= 1
+        if k:
+            addend = add_impl(spec, addend, addend)
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# Public jitted API (spec and fixed ints are static args). The *_impl
+# versions above are pure and safe to call inside Pallas kernels or other
+# traced contexts.
+# ---------------------------------------------------------------------------
+
+add = functools.partial(jax.jit, static_argnums=(0,))(add_impl)
+sub = functools.partial(jax.jit, static_argnums=(0,))(sub_impl)
+neg = functools.partial(jax.jit, static_argnums=(0,))(neg_impl)
+double = functools.partial(jax.jit, static_argnums=(0,))(double_impl)
+mont_mul = functools.partial(jax.jit, static_argnums=(0,))(mont_mul_impl)
+mont_sqr = functools.partial(jax.jit, static_argnums=(0,))(mont_sqr_impl)
+mont_pow = functools.partial(jax.jit, static_argnums=(0, 2))(mont_pow_impl)
+inv = functools.partial(jax.jit, static_argnums=(0,))(inv_impl)
+to_mont = functools.partial(jax.jit, static_argnums=(0,))(to_mont_impl)
+from_mont = functools.partial(jax.jit, static_argnums=(0,))(from_mont_impl)
+is_zero = functools.partial(jax.jit, static_argnums=(0,))(is_zero_impl)
+eq = functools.partial(jax.jit, static_argnums=(0,))(eq_impl)
+mul_small = functools.partial(jax.jit, static_argnums=(0, 2))(mul_small_impl)

@@ -1,0 +1,230 @@
+"""The TPU puzzle: the framework's proof-of-work pipeline (flagship model).
+
+Re-designs the capability of Aleo's puzzle (SURVEY.md §2.10: `puzzle.prove`
+at node/src/prover/mod.rs:254-258, `puzzle.check_solution` at
+ledger-service/src/ledger.rs:306-315) as a TPU-first pipeline:
+
+  prove(epoch_hash, address, nonce):
+    1. seed  = sha256(epoch_hash || address || nonce)
+    2. coeffs[i] = Poseidon(seed_field, i)     — batched sponge on TPU
+    3. C = KZG commit = MSM(coeffs, SRS)       — Pippenger on TPU
+    4. z = Poseidon(C.x) challenge (Fiat-Shamir)
+    5. y = p(z); W = MSM((p - y)/(X - z), SRS) — opening proof on TPU
+    6. solution passes iff sha64(C || y) <= 2^64 / proof_target
+
+  verify(solution): recompute z, check the pairing equation
+    e(C - y G, H) == e(W, tau H - z H)  (host-side pairings), plus target.
+
+Unlike the reference's prover (re-synthesizes an R1CS circuit per nonce),
+the verifier here is asymmetric and cheap: two pairings, no MSM/NTT.
+The SRS is a deterministic dev setup (NOT a production ceremony).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import time
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from snarkos_tpu.crypto import params
+from snarkos_tpu.crypto.ref import edwards, g1 as ref_g1, kzg as ref_kzg, pairing, poseidon as ref_poseidon
+from snarkos_tpu.ops import g1 as g1ops, modarith as fa, msm as msm_mod, poseidon as poseidon_ops
+from snarkos_tpu.ops.fieldspec import FQ, FR
+
+R = params.FR_MODULUS
+COEFF_DOMAIN = "snarkos_tpu.puzzle.coeff"
+CHALLENGE_DOMAIN = "snarkos_tpu.puzzle.challenge"
+
+DEFAULT_LOG_DEGREE = 12
+
+
+def _g1_to_bytes(p) -> bytes:
+    """Reference Jacobian tuple -> 97-byte affine encoding."""
+    a = ref_g1.affine(p)
+    if a is None:
+        return b"\x00" * 96 + b"\x01"
+    return a[0].to_bytes(48, "little") + a[1].to_bytes(48, "little") + b"\x00"
+
+
+def _g1_from_bytes(b: bytes):
+    if len(b) != 97:
+        raise ValueError("bad G1 encoding length")
+    if b[96] == 1:
+        return ref_g1.INFINITY
+    x = int.from_bytes(b[:48], "little")
+    y = int.from_bytes(b[48:96], "little")
+    q = params.FQ_MODULUS
+    if x >= q or y >= q:
+        raise ValueError("non-canonical G1 coordinate")
+    p = (x, y, 1)
+    if not ref_g1.on_curve(p):
+        raise ValueError("point not on curve")
+    return p
+
+
+def sha64(*parts: bytes) -> int:
+    h = hashlib.sha256(hashlib.sha256(b"".join(parts)).digest()).digest()
+    return int.from_bytes(h[:8], "little")
+
+
+@dataclass
+class PuzzleSRS:
+    """Device-resident SRS for the puzzle degree."""
+
+    degree: int
+    points: "g1ops.JacobianPoints"  # (L, degree+1)
+    srs_ref: ref_kzg.SRS  # host copy for verification
+
+    _cache: dict = None
+
+    @classmethod
+    def dev(cls, log_degree: int = DEFAULT_LOG_DEGREE) -> "PuzzleSRS":
+        """Deterministic dev SRS, disk-cached under .cache/."""
+        degree = 1 << log_degree
+        cache_dir = os.path.join(os.path.dirname(__file__), "..", "..", ".cache")
+        os.makedirs(cache_dir, exist_ok=True)
+        path = os.path.join(cache_dir, f"srs_{log_degree}.npz")
+        tau = pow(params.FR_GENERATOR, 0xDEADBEEF, R)
+        if os.path.exists(path):
+            data = np.load(path)
+            xs, ys, zs = data["x"], data["y"], data["z"]
+            powers = [
+                (x, y, 1) if z else ref_g1.INFINITY
+                for x, y, z in zip(
+                    FQ.decode_fast(xs), FQ.decode_fast(ys), data["z"]
+                )
+            ]
+            srs_ref = ref_kzg.SRS(
+                powers_g1=powers,
+                h=pairing.G2_GENERATOR,
+                tau_h=pairing.g2_scalar_mul(tau, pairing.G2_GENERATOR),
+            )
+        else:
+            srs_ref = ref_kzg.SRS.setup(degree, tau=tau)
+            srs_ref.powers_g1 = [ref_g1.from_affine(ref_g1.affine(p)) for p in srs_ref.powers_g1]
+            xs = FQ.encode_fast([p[0] for p in srs_ref.powers_g1])
+            ys = FQ.encode_fast([p[1] for p in srs_ref.powers_g1])
+            zs = np.array([p[2] for p in srs_ref.powers_g1], dtype=np.int32)
+            np.savez(path, x=xs, y=ys, z=zs)
+        pts = g1ops.encode_points(srs_ref.powers_g1)
+        return cls(degree=degree, points=pts, srs_ref=srs_ref)
+
+
+@dataclass(frozen=True)
+class PuzzleSolutionData:
+    """prove() output, pre-serialization (node/types.Solution carries it)."""
+
+    commitment: bytes  # 97
+    eval_y: int
+    witness: bytes  # 97
+    solution_id: int  # sha64(C || y)
+
+
+class Puzzle:
+    """The puzzle engine; one instance per process (holds the SRS)."""
+
+    def __init__(self, log_degree: int = DEFAULT_LOG_DEGREE):
+        self.log_degree = log_degree
+        self.srs = PuzzleSRS.dev(log_degree)
+        self.k = 1 << log_degree
+
+    # -- coefficient generation (device) ------------------------------------
+    def _coeffs_device(self, seed_field: int) -> jax.Array:
+        """(L, K) Montgomery Fr coefficients via counter-mode Poseidon."""
+        k = self.k
+        seed = fa.broadcast_const(FR, seed_field, (k,))
+        idx = jnp.arange(k, dtype=jnp.int32)
+        ctr = jnp.zeros((FR.nlimbs, k), dtype=jnp.int32)
+        ctr = ctr.at[0].set(idx & 0xFFFF).at[1].set(idx >> 16)
+        ctr = fa.to_mont(FR, ctr)
+        inputs = jnp.stack([seed, ctr], axis=0)  # (2, L, K)
+        return poseidon_ops.hash_fixed(inputs, rate=2, domain=COEFF_DOMAIN)[0]
+
+    def _seed_field(self, epoch_hash: bytes, address: str, nonce: int) -> int:
+        h = hashlib.sha256(epoch_hash + address.encode() + nonce.to_bytes(8, "little")).digest()
+        return int.from_bytes(h, "little") % R
+
+    # -- proving -------------------------------------------------------------
+    def prove(self, epoch_hash: bytes, address: str, nonce: int,
+              proof_target: int | None = None) -> PuzzleSolutionData | None:
+        """One puzzle iteration; returns None if the target is missed."""
+        seed = self._seed_field(epoch_hash, address, nonce)
+        coeffs_mont = self._coeffs_device(seed)
+        coeffs_canon = fa.from_mont(FR, coeffs_mont)
+        # KZG commit: MSM(coeffs, SRS[0..K))
+        commit_pt = msm_mod.msm(
+            _slice_points(self.srs.points, self.k), coeffs_canon
+        )
+        c_jac = g1ops.decode_points(commit_pt)[0]
+        c_bytes = _g1_to_bytes(c_jac)
+        # Fiat-Shamir challenge from the commitment
+        z = self._challenge(c_bytes)
+        # open on host: y = p(z), q = (p - y)/(X - z) (K sequential steps)
+        coeffs = FR.decode_fast(np.asarray(coeffs_canon))
+        y = 0
+        for c in reversed(coeffs):
+            y = (y * z + c) % R
+        q = [0] * (self.k - 1)
+        carry = 0
+        for i in range(self.k - 1, 0, -1):
+            carry = (coeffs[i] + carry * z) % R
+            q[i - 1] = carry
+        q.append(0)  # pad to K so the MSM shape matches the commit MSM
+        q_limbs = jnp.array(FR.encode_fast(q))
+        witness_pt = msm_mod.msm(_slice_points(self.srs.points, self.k), q_limbs)
+        w_bytes = _g1_to_bytes(g1ops.decode_points(witness_pt)[0])
+        solution_id = sha64(c_bytes, y.to_bytes(32, "little"))
+        if proof_target is not None and not self.passes_target(solution_id, proof_target):
+            return None
+        return PuzzleSolutionData(
+            commitment=c_bytes, eval_y=y, witness=w_bytes, solution_id=solution_id
+        )
+
+    def _challenge(self, c_bytes: bytes) -> int:
+        cx = int.from_bytes(c_bytes[:48], "little") % R
+        return ref_poseidon.hash1([cx], rate=2, domain=CHALLENGE_DOMAIN)
+
+    @staticmethod
+    def passes_target(solution_id: int, proof_target: int) -> bool:
+        return solution_id <= (1 << 64) // max(proof_target, 1)
+
+    # -- verification --------------------------------------------------------
+    def verify(self, epoch_hash: bytes, address: str, nonce: int,
+               commitment: bytes, eval_y: int, witness: bytes,
+               proof_target: int) -> bool:
+        """Cheap asymmetric check: target + pairing equation (host)."""
+        try:
+            c_pt = _g1_from_bytes(commitment)
+            w_pt = _g1_from_bytes(witness)
+        except ValueError:
+            return False
+        if not (0 <= eval_y < R):
+            return False
+        solution_id = sha64(commitment, eval_y.to_bytes(32, "little"))
+        if not self.passes_target(solution_id, proof_target):
+            return False
+        z = self._challenge(commitment)
+        return ref_kzg.verify(self.srs.srs_ref, c_pt, z, eval_y, w_pt)
+
+
+def _slice_points(points: "g1ops.JacobianPoints", n: int) -> "g1ops.JacobianPoints":
+    return g1ops.JacobianPoints(points.x[:, :n], points.y[:, :n], points.z[:, :n])
+
+
+_PUZZLE: Puzzle | None = None
+
+
+def global_puzzle(log_degree: int | None = None) -> Puzzle:
+    """Process-wide puzzle instance (SRS loaded once)."""
+    global _PUZZLE
+    want = log_degree if log_degree is not None else (
+        _PUZZLE.log_degree if _PUZZLE else int(os.environ.get("SNARKOS_TPU_PUZZLE_LOG_DEGREE", DEFAULT_LOG_DEGREE))
+    )
+    if _PUZZLE is None or _PUZZLE.log_degree != want:
+        _PUZZLE = Puzzle(want)
+    return _PUZZLE

@@ -1,0 +1,76 @@
+"""Distributed Pippenger MSM: points sharded across chips, ICI reduction.
+
+Each device runs the full windowed-bucket pipeline (ops/msm.py) on its
+shard of the points, producing one partial sum; partials are then
+all-gathered over ICI and tree-reduced identically on every device
+(replicated output). This matches BASELINE config #3 ("sharded buckets +
+collective reduce") with the reduction cost independent of N.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from snarkos_tpu.ops import g1 as g1ops
+from snarkos_tpu.ops import msm as msm_mod
+
+
+def msm_dist(
+    points: g1ops.JacobianPoints,
+    scalar_limbs: jax.Array,
+    mesh: Mesh,
+    c: int = 0,
+    use_pallas: bool = True,
+    axis: str = "x",
+) -> g1ops.JacobianPoints:
+    """points: (L, N) coords / scalar_limbs: (16, N), N divisible by the
+    mesh size. Returns a replicated 1-wide JacobianPoints batch."""
+    n = scalar_limbs.shape[-1]
+    d = mesh.shape[axis]
+    assert n % d == 0, (n, d)
+    if c == 0:
+        c = msm_mod.default_window_bits(n // d)
+    group = msm_mod._g1_group(use_pallas)
+
+    shard = NamedSharding(mesh, P(None, axis))
+    xs = jax.device_put(points.x, shard)
+    ys = jax.device_put(points.y, shard)
+    zs = jax.device_put(points.z, shard)
+    sc = jax.device_put(scalar_limbs, shard)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(None, axis),) * 4,
+        out_specs=(P(None),) * 3,
+        check_vma=False,
+    )
+    def body(x_l, y_l, z_l, sc_l):
+        partial = msm_mod.msm_generic(group, (x_l, y_l, z_l), sc_l, c)
+        # gather the D partials and tree-reduce identically on all devices
+        gathered = tuple(
+            jax.lax.all_gather(t, axis, axis=-1, tiled=True) for t in partial
+        )
+        width = d
+        total = gathered
+        while width > 1:
+            half = width // 2
+            lo = tuple(t[..., :half] for t in total)
+            hi = tuple(t[..., half : 2 * half] for t in total)
+            rem = tuple(t[..., 2 * half : width] for t in total)
+            total = group.add(lo, hi)
+            if width % 2:
+                total = tuple(
+                    jnp.concatenate([a, b], axis=-1) for a, b in zip(total, rem)
+                )
+                width = half + 1
+            else:
+                width = half
+        return total
+
+    out = body(xs, ys, zs, sc)
+    return g1ops.JacobianPoints(*out)

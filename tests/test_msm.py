@@ -1,0 +1,79 @@
+"""MSM: machinery validated with a cheap mock group, then real G1 at small N."""
+
+import random
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from snarkos_tpu.crypto import params
+from snarkos_tpu.ops import msm as msm_mod
+from snarkos_tpu.ops.fieldspec import FR
+
+RNG = random.Random(1234)
+
+MOCK_MOD = 1_000_000_007
+
+
+def _mock_group():
+    """Integers mod MOCK_MOD as the 'curve': same combinatorics, cheap ops.
+    Elements: single (1, N) int32 array tuples."""
+
+    def identity(n):
+        return (jnp.zeros((1, n), jnp.int32),)
+
+    def add(a, b):
+        return (((a[0].astype(jnp.int64) + b[0]) % MOCK_MOD).astype(jnp.int32),)
+
+    def select(mask, a, b):
+        return (jnp.where(mask[None], a[0], b[0]),)
+
+    def gather(p, idx):
+        return tuple(jnp.take(t, idx, axis=-1) for t in p)
+
+    return msm_mod.GroupOps(identity=identity, add=add, select=select, gather=gather)
+
+
+def test_window_digits():
+    scalars = [0, 1, params.FR_MODULUS - 1, RNG.randrange(params.FR_MODULUS)]
+    limbs = jnp.array(FR.encode(scalars, mont=False))
+    for c in [4, 7, 13, 16]:
+        digits = np.asarray(msm_mod.window_digits(limbs, c))
+        for lane, s in enumerate(scalars):
+            recon = 0
+            for w in range(digits.shape[0]):
+                recon |= int(digits[w, lane]) << (w * c)
+            assert recon == s, f"c={c} lane={lane}"
+
+
+@pytest.mark.parametrize("c", [4, 8])
+@pytest.mark.parametrize("n", [1, 7, 64])
+def test_msm_machinery_mock_group(c, n):
+    """sum_i k_i * x_i over Z_p with the full Pippenger pipeline."""
+    scalars = [RNG.randrange(params.FR_MODULUS) for _ in range(n)]
+    xs = [RNG.randrange(MOCK_MOD) for _ in range(n)]
+    limbs = jnp.array(FR.encode(scalars, mont=False))
+    pts = (jnp.array(xs, dtype=jnp.int32).reshape(1, n),)
+    out = msm_mod.msm_generic(_mock_group(), pts, limbs, c)
+    got = int(np.asarray(out[0])[0, 0])
+    expect = sum(k * x for k, x in zip(scalars, xs)) % MOCK_MOD
+    assert got == expect
+
+
+@pytest.mark.slow
+def test_msm_g1_small():
+    """Real G1 MSM at tiny size vs the reference (Pallas interpret mode)."""
+    from snarkos_tpu.crypto.ref import g1 as ref
+    from snarkos_tpu.ops import g1 as g1ops
+
+    n, c = 8, 8
+    scalars = [RNG.randrange(params.FR_MODULUS) for _ in range(n)]
+    scalars[0] = 0  # zero-scalar lane
+    pts_ref = [ref.scalar_mul(RNG.randrange(1, 1 << 64), ref.GENERATOR) for _ in range(n)]
+    pts_ref[1] = ref.INFINITY  # identity lane
+    enc = g1ops.encode_points(pts_ref)
+    limbs = jnp.array(FR.encode(scalars, mont=False))
+    out = msm_mod.msm(enc, limbs, c)
+    got = g1ops.decode_points(out)[0]
+    expect = ref.msm(scalars, pts_ref)
+    assert ref.affine(got) == ref.affine(expect)

@@ -1,0 +1,192 @@
+"""Codec round-trip tests for every Message and Event variant (mirrors the
+reference's proptest strategy, SURVEY.md §4 item 9)."""
+
+import random
+
+import pytest
+
+from snarkos_tpu.crypto.ref import edwards
+from snarkos_tpu.node import events, messages, types
+from snarkos_tpu.node.codec import Reader, Writer
+
+RNG = random.Random(2024)
+
+
+def _rand_bytes(n):
+    return bytes(RNG.randrange(256) for _ in range(n))
+
+
+ACCT = edwards.Account.new(seed=b"\x11" * 32)
+ADDR = "aleo1" + edwards.compress(ACCT.pk).hex()
+
+
+def _rand_tid():
+    return types.TransmissionID(RNG.choice([0, 1]), _rand_bytes(32))
+
+
+def _rand_solution():
+    return types.Solution(
+        epoch_hash=_rand_bytes(32), address=ADDR, nonce=RNG.getrandbits(64),
+        commitment=_rand_bytes(97), eval_y=RNG.getrandbits(250), witness=_rand_bytes(97),
+    )
+
+
+def _rand_transaction():
+    return types.Transaction(
+        payload=_rand_bytes(RNG.randrange(0, 64)), fee=RNG.getrandbits(32),
+        commitment=_rand_bytes(97), challenge=RNG.getrandbits(250),
+        eval_y=RNG.getrandbits(250), witness=_rand_bytes(97),
+        is_deploy=RNG.random() < 0.5,
+    )
+
+
+def _rand_header():
+    return types.BatchHeader.sign_new(
+        ACCT, round_=RNG.randrange(1000), timestamp=RNG.randrange(1 << 40),
+        committee_id=_rand_bytes(32),
+        transmission_ids=[_rand_tid() for _ in range(3)],
+        previous_certificate_ids=[_rand_bytes(32) for _ in range(2)],
+    )
+
+
+def _rand_certificate():
+    hdr = _rand_header()
+    sigs = tuple(
+        (ADDR, edwards.sign_bytes(ACCT.sk, ACCT.pk, hdr.batch_id)) for _ in range(2)
+    )
+    return types.BatchCertificate(batch_header=hdr, signatures=sigs)
+
+
+def _rand_block():
+    sub = types.Subdag(rounds=((2, (_rand_certificate(),)),))
+    return types.Block(
+        height=RNG.randrange(1 << 30), previous_hash=_rand_bytes(32),
+        timestamp=RNG.randrange(1 << 40), round=4, epoch_hash=_rand_bytes(32),
+        proof_target=256, subdag=sub,
+        transmissions=(types.Transmission.from_solution(_rand_solution()),),
+    )
+
+
+def _rand_locators():
+    recents = tuple((h, _rand_bytes(32)) for h in range(40, 60))
+    checkpoints = ((0, _rand_bytes(32)),)
+    return messages.BlockLocators(recents, checkpoints)
+
+
+class TestTypesRoundtrip:
+    def test_transmission_types(self):
+        for obj in [_rand_solution(), _rand_transaction()]:
+            t = (types.Transmission.from_solution(obj) if isinstance(obj, types.Solution)
+                 else types.Transmission.from_transaction(obj))
+            r = Reader(t.to_bytes())
+            back = types.Transmission.from_reader(r)
+            r.expect_done()
+            assert back == t and back.deserialize() == obj
+
+    def test_batch_header_roundtrip_and_signature(self):
+        hdr = _rand_header()
+        r = Reader(hdr.to_bytes())
+        back = types.BatchHeader.from_reader(r)
+        r.expect_done()
+        assert back == hdr
+        assert back.verify_signature()
+        tampered = types.BatchHeader(**{**back.__dict__, "round": back.round + 1})
+        assert not tampered.verify_signature()
+
+    def test_certificate_verify(self):
+        committee = types.Committee.new(1, {ADDR: 100})
+        cert = _rand_certificate()
+        assert types.BatchCertificate.from_bytes(cert.to_bytes()) == cert
+        assert cert.verify(committee)
+
+    def test_block_roundtrip(self):
+        b = _rand_block()
+        assert types.Block.from_bytes(b.to_bytes()) == b
+        assert len(b.hash) == 32
+
+    def test_committee_thresholds(self):
+        c = types.Committee.new(1, {f"v{i}": 100 for i in range(4)})
+        assert c.total_stake == 400
+        assert c.quorum_threshold() == 267
+        assert c.availability_threshold() == 134
+        assert c.is_quorum(["v0", "v1", "v2"])
+        assert not c.is_quorum(["v0", "v1"])
+        assert c.is_availability(["v0", "v1"])
+        assert not c.is_availability(["v0"])
+        leader = c.get_leader(10)
+        assert leader in c.addresses
+        assert c.get_leader(10) == leader  # deterministic
+
+
+MESSAGE_SAMPLES = [
+    messages.BlockRequest(5, 10),
+    messages.ChallengeRequest(1, 4130, messages.NodeType.VALIDATOR, ADDR, 42),
+    messages.ChallengeResponse(_rand_bytes(32), _rand_bytes(32), (3, 4), 7),
+    messages.Disconnect(messages.DisconnectReason.PROTOCOL_VIOLATION),
+    messages.PeerRequest(),
+    messages.PeerResponse((("127.0.0.1", 4130), ("10.0.0.2", 4131))),
+    messages.Ping(1, messages.NodeType.CLIENT, _rand_locators()),
+    messages.Ping(1, messages.NodeType.PROVER, None),
+    messages.Pong(True),
+    messages.Pong(None),
+    messages.PuzzleRequest(),
+    messages.PuzzleResponse(_rand_bytes(32), 100, 512),
+    messages.UnconfirmedSolution(_rand_tid(), _rand_solution().to_bytes()),
+    messages.UnconfirmedTransaction(_rand_tid(), _rand_transaction().to_bytes()),
+]
+
+
+@pytest.mark.parametrize("msg", MESSAGE_SAMPLES, ids=lambda m: type(m).__name__)
+def test_message_roundtrip(msg):
+    assert messages.deserialize(messages.serialize(msg)) == msg
+
+
+def test_block_response_roundtrip():
+    msg = messages.BlockResponse(messages.BlockRequest(0, 1), (_rand_block(),))
+    assert messages.deserialize(messages.serialize(msg)) == msg
+
+
+def test_block_response_cap():
+    blocks = tuple(_rand_block() for _ in range(6))
+    msg = messages.BlockResponse(messages.BlockRequest(0, 6), blocks)
+    with pytest.raises(ValueError):
+        messages.deserialize(messages.serialize(msg))
+
+
+EVENT_SAMPLES = [
+    events.BatchPropose(3, _rand_header().to_bytes()),
+    events.BatchSignature(_rand_bytes(32), (5, 6)),
+    events.BatchCertified(_rand_certificate().to_bytes()),
+    events.BlockRequest(1, 3),
+    events.CertificateRequest(_rand_bytes(32)),
+    events.CertificateResponse(_rand_bytes(32), _rand_certificate().to_bytes()),
+    events.CertificateResponse(_rand_bytes(32), None),
+    events.GatewayChallengeRequest(1, 5000, ADDR, 9),
+    events.GatewayChallengeResponse((1, 2), 8),
+    events.PrimaryPing(1, 50, None),
+    events.PrimaryPing(1, 50, _rand_certificate().to_bytes()),
+    events.TransmissionRequest(_rand_tid()),
+    events.TransmissionResponse(_rand_tid(), None),
+    events.TransmissionResponse(
+        _rand_tid(), types.Transmission.from_solution(_rand_solution()).to_bytes()
+    ),
+    events.ValidatorsRequest(),
+    events.ValidatorsResponse((("127.0.0.1", 5000, ADDR),)),
+    events.WorkerPing((_rand_tid(), _rand_tid())),
+]
+
+
+@pytest.mark.parametrize("ev", EVENT_SAMPLES, ids=lambda e: type(e).__name__)
+def test_event_roundtrip(ev):
+    assert events.deserialize(events.serialize(ev)) == ev
+
+
+def test_malformed_rejected():
+    with pytest.raises(Exception):
+        messages.deserialize(b"\xff\xff\x00")
+    with pytest.raises(Exception):
+        events.deserialize(b"")
+    # trailing garbage
+    good = messages.serialize(messages.PeerRequest())
+    with pytest.raises(Exception):
+        messages.deserialize(good + b"\x00")
