@@ -1,0 +1,176 @@
+"""Benchmark driver: prints ONE JSON line with the headline metric.
+
+Headline: Pippenger MSM throughput (points/s) on BLS12-377 G1 — the
+BASELINE.json north-star metric — measured on the attached TPU chip.
+Falls back to NTT throughput if the MSM path is unavailable.
+
+``vs_baseline`` is the measured speedup against the pure-Python
+arbitrary-precision reference implementation on this host (the reference
+repo publishes no benchmark numbers — BASELINE.md), estimated from a
+small calibration run of crypto/ref/g1.msm.
+
+Environment knobs:
+  SNARKOS_TPU_BENCH_LOG_N   (default 16)  -> MSM size 2^N
+  SNARKOS_TPU_BENCH_WINDOW  (default 12)  -> Pippenger window bits
+  SNARKOS_TPU_BENCH_PHASE   msm|ntt|poseidon (default msm)
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _setup_jax():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    return jax
+
+
+def bench_poseidon(jax, log_n: int = 16):
+    import jax.numpy as jnp
+
+    from snarkos_tpu.ops import poseidon as poseidon_ops
+    from snarkos_tpu.ops.fieldspec import FR
+
+    n = 1 << log_n
+    rng = np.random.default_rng(0)
+    inputs = jnp.stack([jnp.array(FR.random(n, rng)) for _ in range(2)], axis=0)
+
+    out = poseidon_ops.hash_fixed(inputs, rate=2)
+    jax.block_until_ready(out)
+    iters = 5
+    t0 = time.time()
+    for _ in range(iters):
+        out = poseidon_ops.hash_fixed(inputs, rate=2)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / iters
+    return n / dt, "hashes/s", n
+
+
+def bench_ntt(jax, log_n: int = 18):
+    import jax.numpy as jnp
+
+    from snarkos_tpu.ops import ntt as ntt_ops
+    from snarkos_tpu.ops.fieldspec import FR
+
+    n = 1 << log_n
+    rng = np.random.default_rng(0)
+    a = jnp.array(FR.random(n, rng))
+    out = ntt_ops.ntt(a)
+    jax.block_until_ready(out)
+    iters = 5
+    t0 = time.time()
+    for _ in range(iters):
+        out = ntt_ops.ntt(out)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / iters
+    return n / dt, "elems/s", n
+
+
+def bench_msm(jax, log_n: int = 16, c: int = 12):
+    import jax.numpy as jnp
+
+    from snarkos_tpu.crypto.ref import g1 as ref
+    from snarkos_tpu.ops import g1 as g1ops
+    from snarkos_tpu.ops import msm as msm_mod
+    from snarkos_tpu.ops.fieldspec import FR
+
+    n = 1 << log_n
+    rng = np.random.default_rng(0)
+    # distinct points: k*G for k in a small cycle (cheap to build on host)
+    base = []
+    acc = ref.GENERATOR
+    for _ in range(256):
+        base.append(acc)
+        acc = ref.add(acc, ref.GENERATOR)
+    pts = [base[i % 256] for i in range(n)]
+    points = g1ops.encode_points(pts)
+    scalars = jnp.array(FR.random(n, rng))  # uniform; canonical-limb domain
+
+    out = msm_mod.msm(points, scalars, c)
+    jax.block_until_ready((out.x, out.y, out.z))
+    iters = 3
+    t0 = time.time()
+    for _ in range(iters):
+        out = msm_mod.msm(points, scalars, c)
+        jax.block_until_ready((out.x, out.y, out.z))
+    dt = (time.time() - t0) / iters
+    return n / dt, "points/s", n
+
+
+def _python_ref_msm_rate() -> float:
+    """Calibrate the host pure-Python reference MSM (points/s)."""
+    import random
+
+    from snarkos_tpu.crypto.ref import g1 as ref
+    from snarkos_tpu.crypto import params
+
+    rng = random.Random(0)
+    k = 32
+    pts = [ref.scalar_mul(i + 1, ref.GENERATOR) for i in range(k)]
+    scalars = [rng.randrange(params.FR_MODULUS) for _ in range(k)]
+    t0 = time.time()
+    ref.msm(scalars, pts)
+    dt = time.time() - t0
+    return k / dt
+
+
+def main():
+    jax = _setup_jax()
+    phase = os.environ.get("SNARKOS_TPU_BENCH_PHASE", "msm")
+    log_n = int(os.environ.get("SNARKOS_TPU_BENCH_LOG_N", "16"))
+    window = int(os.environ.get("SNARKOS_TPU_BENCH_WINDOW", "12"))
+
+    extras = {}
+    try:
+        pose_rate, _, pose_n = bench_poseidon(jax, min(log_n, 16))
+        extras["poseidon_hashes_per_s"] = round(pose_rate)
+    except Exception as exc:  # pragma: no cover
+        extras["poseidon_error"] = str(exc)[:200]
+    try:
+        ntt_rate, _, ntt_n = bench_ntt(jax, min(log_n + 2, 18))
+        extras["ntt_elems_per_s"] = round(ntt_rate)
+        extras["ntt_size"] = ntt_n
+    except Exception as exc:  # pragma: no cover
+        extras["ntt_error"] = str(exc)[:200]
+
+    metric, value, unit = None, None, None
+    if phase == "msm":
+        try:
+            rate, unit, n = bench_msm(jax, log_n, window)
+            metric, value = f"msm_points_per_s_2^{log_n}", rate
+        except Exception as exc:
+            extras["msm_error"] = str(exc)[:200]
+    if value is None and "ntt_elems_per_s" in extras:
+        metric, value, unit = f"ntt_elems_per_s_2^{min(log_n + 2, 18)}", extras["ntt_elems_per_s"], "elems/s"
+    if value is None and "poseidon_hashes_per_s" in extras:
+        metric, value, unit = "poseidon_hashes_per_s_2^16", extras["poseidon_hashes_per_s"], "hashes/s"
+    if value is None:
+        print(json.dumps({"metric": "bench_failed", "value": 0, "unit": "n/a",
+                          "vs_baseline": 0.0, "extras": extras}))
+        return 1
+
+    try:
+        ref_rate = _python_ref_msm_rate() if "msm" in (metric or "") else None
+    except Exception:
+        ref_rate = None
+    vs_baseline = round(value / ref_rate, 2) if ref_rate else 1.0
+
+    print(json.dumps({
+        "metric": metric,
+        "value": round(float(value), 2),
+        "unit": unit,
+        "vs_baseline": vs_baseline,
+        "extras": extras,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -241,6 +241,10 @@ class Primary:
                     return False  # still collecting signatures
                 self.worker.reinsert(self.proposed_batch.transmissions)
                 self.proposed_batch = None
+            # already certified a batch this round (waiting on the BFT to
+            # advance): proposing again would be equivocation
+            if self.storage.get_certificate_for_round_with_author(round_, self.address) is not None:
+                return False
             # previous round certificates must reach quorum (primary.rs:463-489)
             prev_ids: tuple = ()
             if round_ > 1:
@@ -385,9 +389,14 @@ class Primary:
         cert = BatchCertificate.from_bytes(resp.certificate)
         if cert.id != resp.certificate_id:
             raise ValueError("certificate response id mismatch")
-        if not self.storage.contains_certificate(cert.id):
-            await self._receive_certificate(peer_addr, cert)
         fut = (self._cert_futures or {}).pop(cert.id, None)
+        try:
+            if not self.storage.contains_certificate(cert.id):
+                await self._receive_certificate(peer_addr, cert)
+        except Exception as exc:
+            if fut is not None and not fut.done():
+                fut.set_exception(exc)
+            raise
         if fut is not None and not fut.done():
             fut.set_result(cert)
 
@@ -414,6 +423,21 @@ class Primary:
         self._tasks.append(asyncio.create_task(self._batch_proposer_loop()))
         self._tasks.append(asyncio.create_task(self._worker_ping_loop()))
         self._tasks.append(asyncio.create_task(self._expiry_loop()))
+        self._tasks.append(asyncio.create_task(self._primary_ping_loop()))
+
+    async def _primary_ping_loop(self) -> None:
+        while self.running:
+            try:
+                await asyncio.sleep(PRIMARY_PING_S)
+                cert = self.latest_certificate
+                self.transport.broadcast(ev.PrimaryPing(
+                    ev.VERSION, self.ledger.latest_height(),
+                    cert.to_bytes() if cert else None,
+                ))
+            except asyncio.CancelledError:
+                return
+            except Exception as exc:
+                log.debug("primary ping loop error: %s", exc)
 
     async def shut_down(self) -> None:
         self.running = False
@@ -425,7 +449,14 @@ class Primary:
             try:
                 await asyncio.sleep(MIN_BATCH_DELAY_S)
                 if time.time() - self.last_proposal_time >= MIN_BATCH_DELAY_S:
-                    await self.propose_batch()
+                    proposed = await self.propose_batch()
+                    # re-broadcast an in-flight proposal so peers that missed
+                    # it (e.g. joined after the original send) can sign
+                    prop = self.proposed_batch
+                    if not proposed and prop is not None and prop.round == self.storage.current_round():
+                        self.transport.broadcast(
+                            ev.BatchPropose(prop.round, prop.batch_header.to_bytes())
+                        )
             except asyncio.CancelledError:
                 return
             except Exception as exc:

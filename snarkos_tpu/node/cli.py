@@ -1,0 +1,234 @@
+"""CLI entrypoint: `python -m snarkos_tpu.node.cli` (cli/src semantics).
+
+Commands (SURVEY.md §2.9 cli rows): ``account new|sign|verify``,
+``clean``, ``start`` with the reference's ``--dev <id>`` convention
+(deterministic accounts/committee from a fixed seed; ports 4130+id /
+5000+id / 3030+id; node i connects to peers 0..i — start.rs:333-372).
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import hashlib
+import logging
+import os
+import shutil
+import sys
+
+from snarkos_tpu.crypto.ref import edwards
+from snarkos_tpu.node.types import Committee, point_to_address
+
+DEV_SEED = 1234567890  # start.rs:57 equivalent
+DEFAULT_DATA_DIR = os.path.expanduser("~/.snarkos_tpu")
+
+
+def dev_account(index: int) -> edwards.Account:
+    seed = hashlib.sha256(b"snarkos_tpu.dev" + DEV_SEED.to_bytes(8, "little")
+                          + index.to_bytes(4, "little")).digest()
+    return edwards.Account.new(seed=seed)
+
+
+def dev_committee(num_validators: int) -> Committee:
+    members = {
+        point_to_address(dev_account(i).pk): 100 for i in range(num_validators)
+    }
+    return Committee.new(1, members)
+
+
+def _add_start_args(p: argparse.ArgumentParser):
+    p.add_argument("--validator", action="store_true")
+    p.add_argument("--client", action="store_true")
+    p.add_argument("--prover", action="store_true")
+    p.add_argument("--dev", type=int, default=None, help="dev node id")
+    p.add_argument("--dev-num-validators", type=int, default=4)
+    p.add_argument("--node", default=None, help="ip:port for the node listener")
+    p.add_argument("--bft", default=None, help="ip:port for the BFT gateway")
+    p.add_argument("--rest", default=None, help="REST port (default 3030+dev id)")
+    p.add_argument("--norest", action="store_true")
+    p.add_argument("--peers", default="", help="comma-separated trusted peers ip:port")
+    p.add_argument("--validators", default="", help="comma-separated trusted validators ip:port")
+    p.add_argument("--private-key-seed", default=None)
+    p.add_argument("--storage", default=None)
+    p.add_argument("--translucent", action="store_true",
+                   help="skip block verification (devnet)")
+    p.add_argument("--dev-txs", action="store_true", help="generate dev transactions")
+    p.add_argument("--puzzle-log-degree", type=int, default=None)
+    p.add_argument("--verbosity", type=int, default=1)
+
+
+def _parse_hostport(s: str, default_port: int) -> tuple:
+    if not s:
+        return ("127.0.0.1", default_port)
+    if ":" in s:
+        host, port = s.rsplit(":", 1)
+        return (host or "127.0.0.1", int(port))
+    return ("127.0.0.1", int(s))
+
+
+def _parse_peer_list(s: str) -> tuple:
+    out = []
+    for item in s.split(","):
+        item = item.strip()
+        if item:
+            host, port = item.rsplit(":", 1)
+            out.append((host, int(port)))
+    return tuple(out)
+
+
+async def _run_start(args) -> None:
+    from snarkos_tpu.node.roles import Client, Prover, Validator
+    from snarkos_tpu.node.types import genesis_block
+
+    verb_levels = {0: logging.ERROR, 1: logging.INFO, 2: logging.DEBUG}
+    logging.basicConfig(
+        level=verb_levels.get(args.verbosity, logging.DEBUG),
+        format="%(asctime)s %(levelname).1s %(name)s: %(message)s",
+    )
+
+    committee = dev_committee(args.dev_num_validators)
+    if args.dev is not None:
+        account = dev_account(args.dev)
+        node_addr = ("127.0.0.1", 4130 + args.dev)
+        bft_addr = ("127.0.0.1", 5000 + args.dev)
+        rest_port = None if args.norest else 3030 + args.dev
+        trusted_peers = tuple(("127.0.0.1", 4130 + i) for i in range(args.dev))
+        trusted_validators = tuple(
+            ("127.0.0.1", 5000 + i) for i in range(args.dev_num_validators) if i != args.dev
+        )
+        storage = args.storage or os.path.join(
+            DEFAULT_DATA_DIR, f"dev-{args.dev}", "ledger.dat"
+        )
+    else:
+        if args.private_key_seed is None:
+            print("--private-key-seed is required outside --dev mode", file=sys.stderr)
+            sys.exit(1)
+        account = edwards.Account.new(
+            seed=hashlib.sha256(args.private_key_seed.encode()).digest()
+        )
+        node_addr = _parse_hostport(args.node, 4130)
+        bft_addr = _parse_hostport(args.bft, 5000)
+        rest_port = None if args.norest else (int(args.rest) if args.rest else 3030)
+        trusted_peers = _parse_peer_list(args.peers)
+        trusted_validators = _parse_peer_list(args.validators)
+        storage = args.storage or os.path.join(DEFAULT_DATA_DIR, "ledger.dat")
+
+    if args.puzzle_log_degree is not None:
+        os.environ["SNARKOS_TPU_PUZZLE_LOG_DEGREE"] = str(args.puzzle_log_degree)
+
+    class AccountView:
+        def __init__(self, acct):
+            self.sk, self.pk = acct.sk, acct.pk
+            self.address = point_to_address(acct.pk)
+
+    av = AccountView(account)
+    print(f"node address: {av.address}")
+
+    if args.prover:
+        node = Prover(av, genesis_block(committee).hash,
+                      node_ip=node_addr[0], node_port=node_addr[1],
+                      trusted_peers=trusted_peers,
+                      log_degree=args.puzzle_log_degree)
+    elif args.client:
+        node = Client(av, committee, node_ip=node_addr[0], node_port=node_addr[1],
+                      rest_port=rest_port, storage_path=storage,
+                      trusted_peers=trusted_peers)
+    else:
+        node = Validator(av, committee,
+                         node_ip=node_addr[0], node_port=node_addr[1],
+                         bft_port=bft_addr[1], rest_port=rest_port,
+                         storage_path=storage, trusted_peers=trusted_peers,
+                         trusted_validators=trusted_validators,
+                         translucent=args.translucent,
+                         dev_tx_interval=0.5 if args.dev_txs else None)
+
+    await node.start()
+    role = "prover" if args.prover else ("client" if args.client else "validator")
+    print(f"{role} started: node={node.router.local_addr}"
+          + (f" bft={node.gateway.local_addr}" if hasattr(node, 'gateway') else "")
+          + (f" rest=127.0.0.1:{rest_port}" if rest_port else ""))
+
+    stop = asyncio.Event()
+    import signal
+
+    loop = asyncio.get_event_loop()
+    for sig in (signal.SIGINT, signal.SIGTERM):
+        try:
+            loop.add_signal_handler(sig, stop.set)
+        except NotImplementedError:
+            pass
+    await stop.wait()
+    print("shutting down...")
+    await node.shut_down()
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="snarkos-tpu", description=__doc__)
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_start = sub.add_parser("start", help="start a node")
+    _add_start_args(p_start)
+
+    p_account = sub.add_parser("account", help="account tools")
+    acct_sub = p_account.add_subparsers(dest="account_command", required=True)
+    p_new = acct_sub.add_parser("new")
+    p_new.add_argument("--seed", default=None)
+    p_sign = acct_sub.add_parser("sign")
+    p_sign.add_argument("--seed", required=True)
+    p_sign.add_argument("--message", required=True)
+    p_verify = acct_sub.add_parser("verify")
+    p_verify.add_argument("--address", required=True)
+    p_verify.add_argument("--message", required=True)
+    p_verify.add_argument("--signature", required=True)
+
+    p_clean = sub.add_parser("clean", help="remove the ledger data directory")
+    p_clean.add_argument("--dev", type=int, default=None)
+
+    args = parser.parse_args(argv)
+
+    if args.command == "start":
+        asyncio.run(_run_start(args))
+        return 0
+
+    if args.command == "account":
+        if args.account_command == "new":
+            seed = (hashlib.sha256(args.seed.encode()).digest()
+                    if args.seed else os.urandom(32))
+            acct = edwards.Account.new(seed=seed)
+            print(f"  Private Key (seed)  {seed.hex()}")
+            print(f"       Address        {point_to_address(acct.pk)}")
+            return 0
+        if args.account_command == "sign":
+            seed = hashlib.sha256(args.seed.encode()).digest()
+            acct = edwards.Account.new(seed=seed)
+            sig = edwards.sign_bytes(acct.sk, acct.pk, args.message.encode())
+            print(f"sign1{sig[0]:064x}{sig[1]:064x}")
+            return 0
+        if args.account_command == "verify":
+            raw = args.signature.removeprefix("sign1")
+            sig = (int(raw[:64], 16), int(raw[64:128], 16))
+            try:
+                from snarkos_tpu.node.types import address_to_point
+
+                pk = address_to_point(args.address)
+                ok = edwards.verify_bytes(pk, args.message.encode(), sig)
+            except Exception:
+                ok = False
+            print("verified" if ok else "INVALID")
+            return 0 if ok else 1
+
+    if args.command == "clean":
+        target = (os.path.join(DEFAULT_DATA_DIR, f"dev-{args.dev}")
+                  if args.dev is not None else DEFAULT_DATA_DIR)
+        if os.path.exists(target):
+            shutil.rmtree(target)
+            print(f"removed {target}")
+        else:
+            print(f"nothing to remove at {target}")
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -132,3 +132,24 @@ class Consensus:
         self.ledger.check_next_block(block)
         self.ledger.advance_to_next_block(block)
         return block
+
+    # -- BFT-side block sync (node/bft/src/sync/mod.rs:299-513 semantics) ----
+    def sync_with_block(self, block: Block) -> None:
+        """Advance the ledger with a synced block and replay its subdag into
+        Narwhal state so this node can rejoin consensus at the tip."""
+        self.ledger.check_next_block(block)
+        self.ledger.advance_to_next_block(block)
+        if block.subdag is None:
+            return
+        transmissions = {t.id: t for t in block.transmissions}
+        for cert in block.subdag.all_certificates():
+            self.storage.sync_certificate_with_block(cert, transmissions)
+            self.bft.dag.recent_committed_ids.add(cert.id)
+        anchor = block.subdag.anchor_round
+        self.bft.dag.last_committed_round = max(self.bft.dag.last_committed_round, anchor)
+        self.storage.increment_to_next_round(anchor + 1)
+        # discard any stale in-flight proposal from the rounds we skipped
+        prop = self.primary.proposed_batch
+        if prop is not None and prop.round <= anchor:
+            self.primary.worker.reinsert(prop.transmissions)
+            self.primary.proposed_batch = None

@@ -172,11 +172,16 @@ class Gateway:
             log.debug("gateway: malformed event from %s: %s", addr, exc)
             await self.tcp.disconnect(addr)
             return
-        try:
-            await self._dispatch(addr, validator, event)
-        except Exception as exc:
-            log.debug("gateway: handler error for %s from %s: %s",
-                      ev.event_name(event), validator[:16], exc)
+        # dispatch concurrently: a handler may await responses that arrive
+        # on this same connection (the read loop must keep draining)
+        async def run_handler():
+            try:
+                await self._dispatch(addr, validator, event)
+            except Exception as exc:
+                log.debug("gateway: handler error for %s from %s: %s",
+                          ev.event_name(event), validator[:16], exc)
+
+        asyncio.create_task(run_handler())
 
     async def _dispatch(self, addr, validator, event) -> None:
         if isinstance(event, ev.BatchPropose) and self.on_batch_propose:

@@ -156,10 +156,14 @@ class Ledger:
                     continue
                 n_sol += 1
             kept.append(t)
+        # deterministic timestamp: median of the anchor round's certificate
+        # timestamps (every correct node computes the same block bytes)
+        anchor_ts = sorted(c.batch_header.timestamp for c in subdag.rounds[-1][1])
+        median_ts = anchor_ts[len(anchor_ts) // 2]
         return Block(
             height=height,
             previous_hash=prev.hash,
-            timestamp=max(int(time.time()), prev.timestamp + 1),
+            timestamp=max(median_ts, prev.timestamp + 1),
             round=subdag.anchor_round,
             epoch_hash=self._next_epoch_hash(height),
             proof_target=prev.proof_target,

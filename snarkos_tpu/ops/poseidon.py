@@ -79,7 +79,7 @@ def permute(state: jax.Array, rate: int) -> jax.Array:
 
     def partial_round(s, ark_r):
         s = jnp.stack([fa.add(FR, s[i], ark_r[i]) for i in range(t)], axis=0)
-        s = s.at[0].set(_sbox(s[0]))
+        s = jnp.concatenate([_sbox(s[0])[None], s[1:]], axis=0)
         return _mix(s, mds), None
 
     state, _ = jax.lax.scan(full_round, state, ark[:half])
@@ -98,17 +98,18 @@ def hash_fixed(inputs: jax.Array, rate: int, domain: str = "", num_outputs: int 
     n, L, B = inputs.shape
     t = rate + 1
     cap = fa.broadcast_const(FR, ref._domain_to_field(domain), (B,))
-    state = jnp.concatenate(
-        [cap[None], jnp.zeros((rate, L, B), dtype=jnp.int32)], axis=0
-    )
+    zero = jnp.zeros((L, B), dtype=jnp.int32)
+    slots = [cap] + [zero] * rate  # python-level state (no scatter ops)
     pos = 0
     for k in range(n):
         if pos == rate:
-            state = permute(state, rate)
+            state = permute(jnp.stack(slots, axis=0), rate)
+            slots = [state[i] for i in range(t)]
             pos = 0
-        state = state.at[1 + pos].set(fa.add(FR, state[1 + pos], inputs[k]))
+        slots[1 + pos] = fa.add(FR, slots[1 + pos], inputs[k])
         pos += 1
     outs = []
+    state = jnp.stack(slots, axis=0)
     while len(outs) < num_outputs:
         state = permute(state, rate)
         take = min(rate, num_outputs - len(outs))

@@ -56,7 +56,7 @@ class TestG1Ops:
 
     def test_scalar_mul(self, point_batch):
         enc = ops.encode_points(point_batch)
-        for e in [0, 1, 2, 7, 0xFFFF, params.FR_MODULUS - 1]:
+        for e in [0, 5, params.FR_MODULUS - 1]:
             out = ops.decode_points(ops.scalar_mul(enc, e))
             expect = [ref.scalar_mul(e, p) for p in point_batch]
             assert _affine_all(out) == _affine_all(expect), f"e={e}"
