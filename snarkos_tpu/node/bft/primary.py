@@ -418,6 +418,43 @@ class Primary:
             self.storage.increment_to_next_round(next_round)
 
     # -- loops ---------------------------------------------------------------
+    # -- crash recovery (helpers/proposal_cache.rs; SURVEY.md §6.4) ----------
+    def load_proposal_cache(self, path: str) -> None:
+        """Reload and replay a persisted proposal cache (primary.rs:142-179)."""
+        from snarkos_tpu.node import proposal_cache as pc
+
+        out = pc.load(path, self.address)
+        if out is None:
+            return
+        current_round, proposal_parts, signed_proposals, certificates = out
+        self.signed_proposals.update(signed_proposals)
+        if proposal_parts is not None:
+            header, transmissions, signatures = proposal_parts
+            self.proposed_batch = Proposal(
+                batch_header=header, transmissions=transmissions,
+                signatures=signatures,
+            )
+        for cert in certificates:
+            try:
+                self.storage.sync_certificate_with_block(
+                    cert, self.proposed_batch.transmissions if self.proposed_batch else {}
+                )
+            except Exception as exc:
+                log.debug("proposal cache: certificate replay failed: %s", exc)
+        self.storage.increment_to_next_round(current_round)
+        log.info("restored proposal cache at round %d", current_round)
+
+    def store_proposal_cache(self, path: str) -> None:
+        """Persist crash-recovery state (primary.rs:1714-1751 shut_down)."""
+        from snarkos_tpu.node import proposal_cache as pc
+
+        pending = [
+            c for r in range(self.storage.gc_round() + 1, self.storage.current_round() + 1)
+            for c in self.storage.get_certificates_for_round(r)
+        ]
+        pc.store(path, self.address, self.storage.current_round(),
+                 self.proposed_batch, self.signed_proposals, pending)
+
     async def run(self) -> None:
         self.running = True
         self._tasks.append(asyncio.create_task(self._batch_proposer_loop()))

@@ -184,6 +184,22 @@ def main(argv=None):
     p_clean = sub.add_parser("clean", help="remove the ledger data directory")
     p_clean.add_argument("--dev", type=int, default=None)
 
+    p_dev = sub.add_parser("developer", help="build and broadcast transactions")
+    dev_sub = p_dev.add_subparsers(dest="dev_command", required=True)
+    p_exec = dev_sub.add_parser("execute", help="create + broadcast a transaction")
+    p_exec.add_argument("--payload", required=True)
+    p_exec.add_argument("--fee", type=int, default=0)
+    p_exec.add_argument("--broadcast", default=None,
+                        help="REST base url, e.g. http://127.0.0.1:3030/testnet")
+    p_deploy = dev_sub.add_parser("deploy", help="create + broadcast a deployment")
+    p_deploy.add_argument("--payload", required=True)
+    p_deploy.add_argument("--fee", type=int, default=0)
+    p_deploy.add_argument("--broadcast", default=None)
+    p_scan = dev_sub.add_parser("scan", help="scan blocks via a REST endpoint")
+    p_scan.add_argument("--endpoint", required=True)
+    p_scan.add_argument("--start", type=int, default=0)
+    p_scan.add_argument("--end", type=int, default=10)
+
     args = parser.parse_args(argv)
 
     if args.command == "start":
@@ -216,6 +232,40 @@ def main(argv=None):
                 ok = False
             print("verified" if ok else "INVALID")
             return 0 if ok else 1
+
+    if args.command == "developer":
+        import json as _json
+        import urllib.request
+
+        if args.dev_command in ("execute", "deploy"):
+            from snarkos_tpu.node.ledger import create_transaction
+
+            tx = create_transaction(args.payload.encode(), fee=args.fee,
+                                    is_deploy=args.dev_command == "deploy")
+            print(f"transaction id: {tx.id.digest.hex()}")
+            if args.broadcast:
+                req = urllib.request.Request(
+                    f"{args.broadcast.rstrip('/')}/transaction/broadcast",
+                    data=_json.dumps(tx.to_bytes().hex()).encode(),
+                    headers={"Content-Type": "application/json"}, method="POST",
+                )
+                with urllib.request.urlopen(req, timeout=30) as r:
+                    print("broadcast:", r.read().decode())
+            else:
+                print(tx.to_bytes().hex())
+            return 0
+        if args.dev_command == "scan":
+            for h in range(args.start, args.end):
+                try:
+                    with urllib.request.urlopen(
+                        f"{args.endpoint.rstrip('/')}/block/{h}", timeout=10
+                    ) as r:
+                        blk = _json.loads(r.read())
+                    print(f"{h}: hash={blk['hash'][:16]} txs={blk['num_transmissions']}")
+                except Exception as exc:
+                    print(f"{h}: <unavailable: {exc}>")
+                    break
+            return 0
 
     if args.command == "clean":
         target = (os.path.join(DEFAULT_DATA_DIR, f"dev-{args.dev}")

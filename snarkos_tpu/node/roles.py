@@ -68,6 +68,10 @@ class Validator(_BaseNode):
         self.rest_port = rest_port
         self.rest = None
         self.dev_tx_interval = dev_tx_interval
+        self.proposal_cache_path = (
+            os.path.join(os.path.dirname(storage_path), ".current-proposal-cache")
+            if storage_path else None
+        )
         self._tasks: list[asyncio.Task] = []
         self._wire_gateway()
         self._wire_router()
@@ -172,6 +176,8 @@ class Validator(_BaseNode):
 
     # -- lifecycle -----------------------------------------------------------
     async def start(self):
+        if self.proposal_cache_path:
+            self.consensus.primary.load_proposal_cache(self.proposal_cache_path)
         await self.gateway.run()
         await self.consensus.run()
         await self.router.run()
@@ -226,6 +232,11 @@ class Validator(_BaseNode):
                 log.debug("dev tx loop: %s", exc)
 
     async def shut_down(self):
+        if self.proposal_cache_path:
+            try:
+                self.consensus.primary.store_proposal_cache(self.proposal_cache_path)
+            except Exception as exc:
+                log.debug("failed to store proposal cache: %s", exc)
         for t in self._tasks:
             t.cancel()
         if self.rest is not None:

@@ -51,22 +51,28 @@ def geometric_powers(base: jax.Array, m: int) -> jax.Array:
 @functools.lru_cache(maxsize=None)
 def _stage_twiddles(n: int, invert: bool) -> tuple:
     """Per-stage twiddle limb arrays: stage s (half-length m = 2^s) gets
-    (L, 1, m) Montgomery twiddles w_len^j, w_len = omega^(n / 2m)."""
+    (L, 1, m) Montgomery twiddles w_len^j, w_len = omega^(n / 2m).
+
+    Computed under ensure_compile_time_eval so the cached arrays are
+    CONCRETE even when the first call happens while tracing a jitted NTT
+    (otherwise the lru_cache would capture and leak tracers)."""
     omega = ref.root_of_unity(n)
     if invert:
         omega = pow(omega, -1, R)
     out = []
-    m = 1
-    while m < n:
-        w_len = jnp.array(FR.encode([pow(omega, n // (2 * m), R)]))
-        out.append(geometric_powers(w_len, m).reshape(FR.nlimbs, 1, m))
-        m *= 2
+    with jax.ensure_compile_time_eval():
+        m = 1
+        while m < n:
+            w_len = jnp.array(FR.encode([pow(omega, n // (2 * m), R)]))
+            out.append(geometric_powers(w_len, m).reshape(FR.nlimbs, 1, m))
+            m *= 2
     return tuple(out)
 
 
 @functools.lru_cache(maxsize=None)
 def _n_inv_const(n: int):
-    return jnp.array(FR.encode([pow(n, -1, R)]))  # (L, 1)
+    with jax.ensure_compile_time_eval():
+        return jnp.array(FR.encode([pow(n, -1, R)]))  # (L, 1)
 
 
 @functools.partial(jax.jit, static_argnums=(1,))

@@ -41,7 +41,8 @@ def _consts(rate: int):
     for i in range(t):
         enc = FR.encode(mds[i])
         mds_arr[i] = enc.T[:, :, None]
-    return jnp.array(ark_arr), jnp.array(mds_arr)
+    with jax.ensure_compile_time_eval():
+        return jnp.array(ark_arr), jnp.array(mds_arr)
 
 
 def _sbox(x: jax.Array) -> jax.Array:
@@ -88,6 +89,7 @@ def permute(state: jax.Array, rate: int) -> jax.Array:
     return state
 
 
+@functools.partial(jax.jit, static_argnames=("rate", "domain", "num_outputs"))
 def hash_fixed(inputs: jax.Array, rate: int, domain: str = "", num_outputs: int = 1) -> jax.Array:
     """Sponge-hash a fixed number of field elements per lane.
 

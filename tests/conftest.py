@@ -8,6 +8,10 @@ is imported anywhere.
 
 import os
 
+# NOTE: the axon TPU plugin in this image ignores JAX_PLATFORMS, so most
+# tests actually execute on the attached TPU chip when present (real-
+# hardware validation). Sharding tests explicitly build CPU-backend meshes
+# (the CPU backend honors --xla_force_host_platform_device_count).
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:

@@ -1,0 +1,87 @@
+"""Puzzle prove/verify pipeline. The full TPU path (Poseidon coeffgen ->
+MSM commit -> KZG open) runs only on TPU hardware (Pallas kernels); on CPU
+we validate the host-side verification path against reference-built
+solutions."""
+
+import os
+
+import pytest
+
+from snarkos_tpu.crypto import params
+from snarkos_tpu.crypto.ref import kzg as ref_kzg, ntt as ref_ntt, poseidon as ref_poseidon
+
+
+def _is_tpu():
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
+@pytest.fixture(scope="module")
+def small_puzzle():
+    os.environ["SNARKOS_TPU_PUZZLE_LOG_DEGREE"] = "6"
+    from snarkos_tpu.ops.puzzle import Puzzle
+
+    return Puzzle(log_degree=6)
+
+
+class TestPuzzleHostSide:
+    def test_verify_accepts_reference_built_solution(self, small_puzzle):
+        """Build the same pipeline host-side with the reference KZG and
+        check puzzle.verify accepts it."""
+        from snarkos_tpu.ops.puzzle import _g1_to_bytes, sha64
+
+        pz = small_puzzle
+        epoch_hash, address, nonce = b"\x07" * 32, "aleo1deadbeef", 99
+        seed = pz._seed_field(epoch_hash, address, nonce)
+        coeffs = [
+            ref_poseidon.hash_many([seed, i], rate=2, domain="snarkos_tpu.puzzle.coeff")[0]
+            for i in range(pz.k)
+        ]
+        c_pt = ref_kzg.commit(pz.srs.srs_ref, coeffs)
+        c_bytes = _g1_to_bytes(c_pt)
+        z = pz._challenge(c_bytes)
+        y, w_pt = ref_kzg.open_at(pz.srs.srs_ref, coeffs, z)
+        w_bytes = _g1_to_bytes(w_pt)
+        # verify with an always-passing target
+        assert pz.verify(epoch_hash, address, nonce, c_bytes, y, w_bytes,
+                         proof_target=1)
+        # tampered y fails
+        assert not pz.verify(epoch_hash, address, nonce, c_bytes,
+                             (y + 1) % params.FR_MODULUS, w_bytes, proof_target=1)
+        # tampered witness fails
+        bad_w = _g1_to_bytes(ref_kzg.g1.scalar_mul(3, ref_kzg.g1.GENERATOR))
+        assert not pz.verify(epoch_hash, address, nonce, c_bytes, y, bad_w,
+                             proof_target=1)
+        # garbage commitment encoding fails cleanly
+        assert not pz.verify(epoch_hash, address, nonce, b"\xff" * 97, y,
+                             w_bytes, proof_target=1)
+
+    def test_target_semantics(self, small_puzzle):
+        pz = small_puzzle
+        assert pz.passes_target(0, 1)
+        assert pz.passes_target((1 << 64) // 4, 4)
+        assert not pz.passes_target((1 << 64) // 4 + 1, 4)
+
+
+@pytest.mark.skipif(not _is_tpu(), reason="TPU-only: Pallas MSM path")
+class TestPuzzleTPU:
+    def test_prove_then_verify(self, small_puzzle):
+        pz = small_puzzle
+        sol = pz.prove(b"\x01" * 32, "aleo1prover", nonce=5, proof_target=None)
+        assert sol is not None
+        assert pz.verify(b"\x01" * 32, "aleo1prover", 5, sol.commitment,
+                         sol.eval_y, sol.witness, proof_target=1)
+
+
+class TestTransactions:
+    def test_create_and_verify(self, small_puzzle):
+        from snarkos_tpu.node.ledger import create_transaction, verify_transaction
+
+        tx = create_transaction(b"payload-xyz", fee=3)
+        assert verify_transaction(tx)
+        # tampered payload breaks the Fiat-Shamir binding
+        from dataclasses import replace
+
+        assert not verify_transaction(replace(tx, payload=b"payload-xyy"))
+        assert not verify_transaction(replace(tx, eval_y=(tx.eval_y + 1) % params.FR_MODULUS))
