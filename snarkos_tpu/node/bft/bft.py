@@ -36,6 +36,11 @@ class BFT:
         self.ledger = primary.ledger
         self.dag = DAG()
         self.on_commit = on_commit
+        # serializes the commit path: _update_dag awaits on_commit (which
+        # yields to the event loop) before dag.commit records the anchor, so
+        # without a lock a second certificate arriving mid-commit re-commits
+        # the same anchor (divergent duplicate blocks across validators)
+        self._commit_lock = asyncio.Lock()
         self.leader_certificate: Optional[BatchCertificate] = None
         self.leader_certificate_timer = 0.0
         primary.on_certificate = self._on_primary_certificate
@@ -128,7 +133,10 @@ class BFT:
         ]
         if not committee.is_availability(supporters):
             return
-        await self._commit_leader_certificate(leader_cert)
+        async with self._commit_lock:
+            if commit_round <= self.dag.last_committed_round:
+                return
+            await self._commit_leader_certificate(leader_cert)
 
     async def _commit_leader_certificate(self, leader_cert: BatchCertificate) -> None:
         """bft.rs:532-713: walk back linked prior leaders, then commit each

@@ -51,6 +51,7 @@ class Gateway:
         self.connected_validators: dict[tuple, str] = {}
         self.resolver: dict[str, tuple] = {}
         self.listener_addrs: dict[tuple, tuple] = {}  # socket addr -> listener addr
+        self.conn_initiator: dict[tuple, str] = {}  # socket addr -> initiator's validator address
         # handler hooks (wired by Validator/Consensus)
         self.on_batch_propose: Optional[Callable] = None
         self.on_batch_signature: Optional[Callable] = None
@@ -127,6 +128,21 @@ class Gateway:
             )
             await send_event(ev.GatewayChallengeResponse(sig, my_nonce))
 
+        if peer_req.address == self.address:
+            raise ConnectionError("self-connect")
+        # one-connection-per-validator invariant with a deterministic
+        # tie-break for simultaneous dials: keep the connection whose
+        # INITIATOR has the smaller validator address (both ends compute
+        # the same answer, so exactly one of the two connections survives)
+        new_initiator = self.address if conn.side == "initiator" else peer_req.address
+        existing = self.resolver.get(peer_req.address)
+        if existing is not None:
+            old_initiator = self.conn_initiator.get(existing, "")
+            if new_initiator < old_initiator:
+                asyncio.ensure_future(self.tcp.disconnect(existing))
+            else:
+                raise ConnectionError("duplicate connection")
+        self.conn_initiator[conn.addr] = new_initiator
         self.connected_validators[conn.addr] = peer_req.address
         self.resolver[peer_req.address] = conn.addr
         self.listener_addrs[conn.addr] = (conn.addr[0], peer_req.listener_port)
@@ -147,7 +163,10 @@ class Gateway:
     async def _on_disconnect(self, addr):
         va = self.connected_validators.pop(addr, None)
         self.listener_addrs.pop(addr, None)
-        if va is not None:
+        self.conn_initiator.pop(addr, None)
+        # the resolver may already point at a NEWER connection to the same
+        # validator (duplicate tie-break) — only drop our own mapping
+        if va is not None and self.resolver.get(va) == addr:
             self.resolver.pop(va, None)
 
     # -- Transport seam (gateway.rs:95-98,979-1037) --------------------------

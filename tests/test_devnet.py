@@ -32,7 +32,12 @@ async def _spawn_validators(n=4, base_gw=0):
         # service with mock-committee semantics but keep the real chain
         await v.start()
         nodes.append(v)
-    # wire gateways: node i connects to 0..i-1
+    # wire gateways: everyone trusts everyone (the heartbeat keeps retrying,
+    # healing dial failures under CI load), plus initial dials i -> 0..i-1
+    for i, v in enumerate(nodes):
+        v.gateway.trusted_validators = [
+            nodes[j].gateway.local_addr for j in range(n) if j != i
+        ]
     for i, v in enumerate(nodes):
         for j in range(i):
             await v.gateway.connect_to(nodes[j].gateway.local_addr)
