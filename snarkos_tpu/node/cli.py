@@ -55,6 +55,10 @@ def _add_start_args(p: argparse.ArgumentParser):
     p.add_argument("--dev-txs", action="store_true", help="generate dev transactions")
     p.add_argument("--puzzle-log-degree", type=int, default=None)
     p.add_argument("--verbosity", type=int, default=1)
+    p.add_argument("--cdn", default=None,
+                   help="CDN base URL for ledger bootstrap (disabled in --dev mode)")
+    p.add_argument("--metrics", action="store_true", help="serve Prometheus metrics")
+    p.add_argument("--metrics-port", type=int, default=9000)
 
 
 def _parse_hostport(s: str, default_port: int) -> tuple:
@@ -142,6 +146,24 @@ async def _run_start(args) -> None:
                          translucent=args.translucent,
                          dev_tx_interval=0.5 if args.dev_txs else None)
 
+    # CDN fast-bootstrap before joining the network (node/cdn semantics;
+    # disabled in dev mode like start.rs:261-291)
+    if args.cdn and args.dev is None and not args.prover:
+        from snarkos_tpu.node import cdn
+
+        try:
+            synced = await cdn.sync_ledger_with_cdn(args.cdn, node.ledger_service)
+            print(f"cdn: synced {synced} blocks")
+        except Exception as exc:
+            print(f"cdn bootstrap failed (continuing with p2p sync): {exc}",
+                  file=sys.stderr)
+
+    if args.metrics:
+        from snarkos_tpu.node import metrics
+
+        await metrics.serve(args.metrics_port)
+        print(f"metrics: 127.0.0.1:{args.metrics_port}/metrics")
+
     await node.start()
     role = "prover" if args.prover else ("client" if args.client else "validator")
     print(f"{role} started: node={node.router.local_addr}"
@@ -199,6 +221,23 @@ def main(argv=None):
     p_scan.add_argument("--endpoint", required=True)
     p_scan.add_argument("--start", type=int, default=0)
     p_scan.add_argument("--end", type=int, default=10)
+    p_scan.add_argument("--seed", default=None,
+                        help="view-key seed: also decrypt owned private records")
+    p_xfer = dev_sub.add_parser(
+        "transfer-private", help="create a tx whose payload only the recipient can read")
+    p_xfer.add_argument("--recipient", required=True, help="recipient address")
+    p_xfer.add_argument("--payload", required=True)
+    p_xfer.add_argument("--fee", type=int, default=0)
+    p_xfer.add_argument("--broadcast", default=None)
+    p_decrypt = dev_sub.add_parser("decrypt", help="decrypt a private record")
+    p_decrypt.add_argument("--seed", required=True, help="owner view-key seed")
+    p_decrypt.add_argument("--record", required=True, help="record ciphertext (hex)")
+
+    p_update = sub.add_parser("update", help="check for and install updates")
+    p_update.add_argument("--check", action="store_true", help="check only")
+    p_update.add_argument(
+        "--repo", default="https://github.com/snarkos-tpu/snarkos-tpu",
+        help="release repository base URL")
 
     args = parser.parse_args(argv)
 
@@ -255,6 +294,10 @@ def main(argv=None):
                 print(tx.to_bytes().hex())
             return 0
         if args.dev_command == "scan":
+            view_sk = None
+            if args.seed:
+                view_sk = edwards.Account.new(
+                    seed=hashlib.sha256(args.seed.encode()).digest()).sk
             for h in range(args.start, args.end):
                 try:
                     with urllib.request.urlopen(
@@ -262,10 +305,77 @@ def main(argv=None):
                     ) as r:
                         blk = _json.loads(r.read())
                     print(f"{h}: hash={blk['hash'][:16]} txs={blk['num_transmissions']}")
+                    if view_sk is not None:
+                        from snarkos_tpu.crypto.ref import records
+                        from snarkos_tpu.node.types import Reader, Transaction
+
+                        for t in blk.get("transmissions", []):
+                            if t.get("kind") != 1:
+                                continue
+                            try:
+                                tx = Transaction.from_reader(
+                                    Reader(bytes.fromhex(t["data"])))
+                                if tx.payload.startswith(b"record1"):
+                                    plain = records.decrypt(view_sk, tx.payload[7:])
+                                    print(f"   owned record: {plain!r}")
+                            except (ValueError, KeyError):
+                                continue
                 except Exception as exc:
                     print(f"{h}: <unavailable: {exc}>")
                     break
             return 0
+        if args.dev_command == "transfer-private":
+            from snarkos_tpu.crypto.ref import records
+            from snarkos_tpu.node.ledger import create_transaction
+            from snarkos_tpu.node.types import address_to_point
+
+            pk = address_to_point(args.recipient)
+            record = b"record1" + records.encrypt(pk, args.payload.encode())
+            tx = create_transaction(record, fee=args.fee)
+            print(f"transaction id: {tx.id.digest.hex()}")
+            if args.broadcast:
+                req = urllib.request.Request(
+                    f"{args.broadcast.rstrip('/')}/transaction/broadcast",
+                    data=_json.dumps(tx.to_bytes().hex()).encode(),
+                    headers={"Content-Type": "application/json"}, method="POST",
+                )
+                with urllib.request.urlopen(req, timeout=30) as r:
+                    print("broadcast:", r.read().decode())
+            else:
+                print(tx.to_bytes().hex())
+            return 0
+        if args.dev_command == "decrypt":
+            from snarkos_tpu.crypto.ref import records
+
+            sk = edwards.Account.new(
+                seed=hashlib.sha256(args.seed.encode()).digest()).sk
+            raw = bytes.fromhex(args.record.removeprefix("record1"))
+            try:
+                print(records.decrypt(sk, raw).decode(errors="replace"))
+                return 0
+            except ValueError as exc:
+                print(f"decryption failed: {exc}", file=sys.stderr)
+                return 1
+
+    if args.command == "update":
+        # the reference self-updates from GitHub releases
+        # (cli/src/commands/update.rs); this build checks the release
+        # endpoint and reports — binary replacement is n/a for a package
+        import json as _json
+        import urllib.request
+
+        url = f"{args.repo.rstrip('/')}/releases/latest"
+        try:
+            with urllib.request.urlopen(url, timeout=10) as r:
+                data = _json.loads(r.read())
+            latest = data.get("tag_name", "unknown")
+            print(f"latest release: {latest}")
+            if not args.check:
+                print("run `git pull && pip install -e .` to update a source checkout")
+            return 0
+        except Exception as exc:
+            print(f"update check failed (offline?): {exc}", file=sys.stderr)
+            return 1
 
     if args.command == "clean":
         target = (os.path.join(DEFAULT_DATA_DIR, f"dev-{args.dev}")

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import asyncio
 import logging
+import time
 from collections import OrderedDict
 from typing import Optional
 
@@ -45,8 +46,39 @@ class Consensus:
     # -- lifecycle -----------------------------------------------------------
     async def run(self):
         self._running = True
+        self.sync_storage_with_ledger_at_bootup()
         await self.primary.run()
         asyncio.create_task(self._mempool_drain_loop())
+
+    def sync_storage_with_ledger_at_bootup(self) -> None:
+        """Replay the last GC window of persisted blocks into Narwhal
+        storage + the commit DAG so a restarted validator rejoins consensus
+        at the chain tip instead of round 1 (node/bft/src/sync/mod.rs:224-296)."""
+        from snarkos_tpu.node.bft.storage import MAX_GC_ROUNDS
+
+        tip_round = self.ledger.latest_round()
+        if tip_round == 0:
+            return
+        gc_floor = max(1, tip_round - MAX_GC_ROUNDS)
+        for height in range(self.ledger.latest_height(), 0, -1):
+            block = self.ledger.get_block(height)
+            if block.round < gc_floor:
+                break
+            self._replay_block_into_narwhal(block)
+        self.dag.last_committed_round = max(self.dag.last_committed_round, tip_round)
+        self.storage.increment_to_next_round(tip_round + 1)
+
+    @property
+    def dag(self):
+        return self.bft.dag
+
+    def _replay_block_into_narwhal(self, block: Block) -> None:
+        if block.subdag is None:
+            return
+        transmissions = {t.id: t for t in block.transmissions}
+        for cert in block.subdag.all_certificates():
+            self.storage.sync_certificate_with_block(cert, transmissions)
+            self.bft.dag.recent_committed_ids.add(cert.id)
 
     async def shut_down(self):
         self._running = False
@@ -113,6 +145,7 @@ class Consensus:
 
     # -- commit path (consensus/lib.rs:461-530) ------------------------------
     async def _process_bft_subdag(self, subdag: Subdag, transmissions: dict) -> None:
+        t0 = time.time()
         try:
             block = await asyncio.get_event_loop().run_in_executor(
                 None, self._try_advance, subdag, transmissions
@@ -123,8 +156,32 @@ class Consensus:
             return
         log.info("advanced to block %d (round %d, %d transmissions)",
                  block.height, block.round, len(block.transmissions))
+        self._update_block_metrics(block, time.time() - t0)
         if self.on_block is not None:
             await self.on_block(block)
+
+    def _update_block_metrics(self, block: Block, advance_s: float) -> None:
+        """consensus/src/lib.rs:489-528 equivalents."""
+        from snarkos_tpu.node import metrics, types
+
+        n_sol = sum(1 for t in block.transmissions if t.kind == types.TX_SOLUTION)
+        metrics.update_gauge("blocks_height", block.height)
+        metrics.update_gauge("blocks_transmissions", len(block.transmissions))
+        metrics.update_gauge("blocks_solutions", n_sol)
+        metrics.update_gauge("blocks_transactions", len(block.transmissions) - n_sol)
+        metrics.update_gauge("consensus_last_committed_round", block.round)
+        metrics.update_gauge(
+            "consensus_committed_certificates",
+            sum(len(cs) for _, cs in block.subdag.rounds) if block.subdag else 0,
+        )
+        metrics.update_gauge("mempool_solutions", len(self.solutions_queue))
+        metrics.update_gauge("mempool_transactions",
+                             len(self.executions_queue) + len(self.deployments_queue))
+        metrics.update_gauge("mempool_ready_transmissions", len(self.primary.worker.ready))
+        metrics.observe_histogram("consensus_block_advance_seconds", advance_s)
+        metrics.observe_histogram(
+            "consensus_commit_latency_seconds", max(0.0, time.time() - block.timestamp)
+        )
 
     def _try_advance(self, subdag: Subdag, transmissions: dict) -> Block:
         ordered = list(transmissions.values())
@@ -141,10 +198,7 @@ class Consensus:
         self.ledger.advance_to_next_block(block)
         if block.subdag is None:
             return
-        transmissions = {t.id: t for t in block.transmissions}
-        for cert in block.subdag.all_certificates():
-            self.storage.sync_certificate_with_block(cert, transmissions)
-            self.bft.dag.recent_committed_ids.add(cert.id)
+        self._replay_block_into_narwhal(block)
         anchor = block.subdag.anchor_round
         self.bft.dag.last_committed_round = max(self.bft.dag.last_committed_round, anchor)
         self.storage.increment_to_next_round(anchor + 1)

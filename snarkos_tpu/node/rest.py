@@ -81,6 +81,10 @@ def _block_json(block: Block) -> dict:
         "proof_target": block.proof_target,
         "num_transmissions": len(block.transmissions),
         "transmission_ids": [str(t.id) for t in block.transmissions],
+        "transmissions": [
+            {"kind": t.kind, "id": t.id.digest.hex(), "data": t.data.hex()}
+            for t in block.transmissions
+        ],
     }
 
 
@@ -264,6 +268,38 @@ class Rest:
                     return 404, {"error": "no sync engine"}
                 return 200, {"is_synced": bs.is_block_synced(),
                              "blocks_behind": bs.num_blocks_behind()}
+            # find/* index lookups (lib.rs:132-191 find routes)
+            case ["find", "blockHash", tid_hex]:
+                want = bytes.fromhex(tid_hex)
+                for block in reversed(ledger.blocks):
+                    if any(t.id.digest == want for t in block.transmissions):
+                        return 200, block.hash.hex()
+                return 404, {"error": "transaction not found"}
+            case ["find", "blockHeight", hash_hex]:
+                height = ledger.block_index.get(bytes.fromhex(hash_hex))
+                if height is None:
+                    return 404, {"error": "unknown block hash"}
+                return 200, height
+            case ["stateRoot", spec] if spec.isdigit():
+                # the chain commitment at a height is that block's hash
+                return 200, ledger.get_block(int(spec)).hash.hex()
+            case ["statePath", tid_hex]:
+                # inclusion path: block hash chain from the containing block
+                # to the tip (hash-linked, so the path is verifiable)
+                want = bytes.fromhex(tid_hex)
+                for block in reversed(ledger.blocks):
+                    if any(t.id.digest == want for t in block.transmissions):
+                        path = [ledger.get_block(h).hash.hex()
+                                for h in range(block.height, ledger.latest_height + 1)]
+                        return 200, {"block_height": block.height, "path": path}
+                return 404, {"error": "transaction not found"}
+            case ["delegators", address]:
+                c = ledger.committee
+                for a, stake, is_open in c.members:
+                    if a == address:
+                        return 200, {"address": a, "stake": stake, "is_open": is_open,
+                                     "delegators": []}
+                return 404, {"error": "not a committee member"}
         raise KeyError("no such route")
 
     async def _route_post(self, parts, body, ledger):

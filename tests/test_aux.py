@@ -240,3 +240,69 @@ async def test_block_sync_engine():
                  subdag=None, transmissions=())
     await sync.insert_block_responses("peerA", [good])
     assert "peerA" not in sync.peer_locators or True  # engine survived
+
+
+# -- bootup Narwhal replay (node/bft/src/sync/mod.rs:224-296) ------------------
+
+
+@pytest.mark.asyncio
+async def test_restart_rejoins_at_tip(tmp_path):
+    """A validator restarted from its persisted ledger replays the last GC
+    window into Narwhal storage and resumes at the tip round, not round 1."""
+    import hashlib as _hashlib
+
+    from snarkos_tpu.node.cli import dev_account, dev_committee
+    from snarkos_tpu.node.roles import Validator
+    from snarkos_tpu.node.types import point_to_address
+
+    class _AV:
+        def __init__(self, acct):
+            self.sk, self.pk = acct.sk, acct.pk
+            self.address = point_to_address(acct.pk)
+
+    committee = dev_committee(4)
+    storage = [str(tmp_path / f"ledger-{i}.dat") for i in range(4)]
+    nodes = []
+    for i in range(4):
+        v = Validator(_AV(dev_account(i)), committee, node_port=0, bft_port=0,
+                      rest_port=None, storage_path=storage[i], translucent=True)
+        await v.start()
+        nodes.append(v)
+    for i, v in enumerate(nodes):
+        v.gateway.trusted_validators = [
+            nodes[j].gateway.local_addr for j in range(4) if j != i
+        ]
+    for i, v in enumerate(nodes):
+        for j in range(i):
+            await v.gateway.connect_to(nodes[j].gateway.local_addr)
+
+    async def wait_for(cond, timeout=90.0):
+        loop = asyncio.get_event_loop()
+        deadline = loop.time() + timeout
+        while loop.time() < deadline:
+            if cond():
+                return True
+            await asyncio.sleep(0.25)
+        return False
+
+    assert await wait_for(lambda: min(v.ledger.latest_height for v in nodes) >= 2)
+    tip_round = nodes[0].ledger.latest_round
+    for v in nodes:
+        await v.shut_down()
+
+    # restart node 0 from disk: it must resume at the tip, with the last
+    # window of certificates replayed into Narwhal storage
+    v0 = Validator(_AV(dev_account(0)), committee, node_port=0, bft_port=0,
+                   rest_port=None, storage_path=storage[0], translucent=True)
+    assert v0.ledger.latest_height >= 2  # persisted chain reloaded
+    await v0.start()
+    try:
+        assert v0.consensus.storage.current_round() >= tip_round
+        assert v0.consensus.bft.dag.last_committed_round >= tip_round
+        # the replayed certificates are queryable (certificate serving seam)
+        tip_block = v0.ledger.latest_block
+        if tip_block.subdag is not None:
+            cert = tip_block.subdag.leader_certificate
+            assert v0.consensus.storage.contains_certificate(cert.id)
+    finally:
+        await v0.shut_down()

@@ -8,7 +8,7 @@ import pytest
 from tests.common_bft import TestNetwork
 
 
-async def _run_until(cond, timeout=30.0, interval=0.2):
+async def _run_until(cond, timeout=75.0, interval=0.2):
     loop = asyncio.get_event_loop()
     deadline = loop.time() + timeout
     while loop.time() < deadline:
