@@ -19,6 +19,7 @@ from typing import Callable, Optional
 
 from snarkos_tpu.crypto.ref import edwards
 from snarkos_tpu.node import codec, events as ev
+from snarkos_tpu.node.router import RateCache
 from snarkos_tpu.node.tcp import Tcp, TcpConfig
 from snarkos_tpu.node.types import Committee, address_to_point
 
@@ -27,6 +28,10 @@ log = logging.getLogger(__name__)
 MEMORY_POOL_PORT = 5000
 MIN_CONNECTED_VALIDATORS = 175
 MAX_VALIDATORS_TO_SEND = 200
+# dynamic rate limits scaled to committee size (gateway.rs:208-236):
+# per-peer budgets within one 5 s cache interval; spam -> disconnect
+CACHE_EVENTS_PER_PEER = 500
+CACHE_REQUESTS_PER_COMMITTEE_MEMBER = 10
 
 
 class Gateway:
@@ -52,6 +57,7 @@ class Gateway:
         self.resolver: dict[str, tuple] = {}
         self.listener_addrs: dict[tuple, tuple] = {}  # socket addr -> listener addr
         self.conn_initiator: dict[tuple, str] = {}  # socket addr -> initiator's validator address
+        self.rate_cache = RateCache(interval_s=5.0)
         # handler hooks (wired by Validator/Consensus)
         self.on_batch_propose: Optional[Callable] = None
         self.on_batch_signature: Optional[Callable] = None
@@ -185,12 +191,28 @@ class Gateway:
         validator = self.connected_validators.get(addr)
         if validator is None:
             return
+        if self.rate_cache.hit(("events", addr)) > CACHE_EVENTS_PER_PEER:
+            log.warning("gateway: %s exceeded the event rate limit; disconnecting",
+                        validator[:16])
+            await self.tcp.disconnect(addr)
+            return
         try:
             event = ev.deserialize(payload)
         except Exception as exc:
             log.debug("gateway: malformed event from %s: %s", addr, exc)
             await self.tcp.disconnect(addr)
             return
+        # request-type budgets scale with committee size (gateway.rs:544-548)
+        if isinstance(event, (ev.CertificateRequest, ev.TransmissionRequest,
+                              ev.BlockRequest, ev.ValidatorsRequest)):
+            budget = CACHE_REQUESTS_PER_COMMITTEE_MEMBER * max(
+                4, len(self.ledger.current_committee().members)
+            )
+            if self.rate_cache.hit(("requests", addr)) > budget:
+                log.warning("gateway: %s exceeded the request rate limit; "
+                            "disconnecting", validator[:16])
+                await self.tcp.disconnect(addr)
+                return
         # dispatch concurrently: a handler may await responses that arrive
         # on this same connection (the read loop must keep draining)
         async def run_handler():
