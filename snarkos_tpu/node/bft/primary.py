@@ -96,6 +96,7 @@ class Worker:
         self.ready: dict[TransmissionID, Transmission] = {}  # ordered
         self.pending: dict[TransmissionID, list] = {}  # tid -> waiters
         self.pending_expiry: dict[TransmissionID, float] = {}
+        self.pending_requests: dict[TransmissionID, set] = {}  # tid -> peers asked
         # extra lookup (e.g. the primary's in-flight proposal transmissions)
         self.extra_lookup = None
 
@@ -126,18 +127,36 @@ class Worker:
         )
 
     # -- peer pull (worker.rs:437-509) --------------------------------------
+    def max_redundant_requests(self) -> int:
+        """pending.rs:35-47: fetch from at most 1 + N/3 distinct peers."""
+        try:
+            n = len(self.ledger.current_committee().members)
+        except Exception:
+            n = 1
+        return 1 + n // 3
+
     def process_worker_ping(self, peer_addr, ping: ev.WorkerPing) -> None:
         limit = MAX_TRANSMISSIONS_PER_BATCH // 10
+        cap = self.max_redundant_requests()
         for tid in ping.transmission_ids[:limit]:
-            if not self._already_known(tid) and tid not in self.pending:
-                self.pending[tid] = []
-                self.pending_expiry[tid] = time.time() + MAX_FETCH_TIMEOUT_S
-                self.transport.send(peer_addr, ev.TransmissionRequest(tid))
+            if self._already_known(tid):
+                continue
+            asked = self.pending_requests.setdefault(tid, set())
+            # expired fetch: allow a fresh round of redundant requests
+            if self.pending_expiry.get(tid, float("inf")) < time.time():
+                asked.clear()
+            if peer_addr in asked or len(asked) >= cap:
+                continue
+            asked.add(peer_addr)
+            self.pending.setdefault(tid, [])
+            self.pending_expiry[tid] = time.time() + MAX_FETCH_TIMEOUT_S
+            self.transport.send(peer_addr, ev.TransmissionRequest(tid))
 
     def process_transmission_response(self, resp: ev.TransmissionResponse) -> None:
         tid = resp.transmission_id
         waiters = self.pending.pop(tid, None)
         self.pending_expiry.pop(tid, None)
+        self.pending_requests.pop(tid, None)
         if resp.transmission is None:
             if waiters:
                 for fut in waiters:

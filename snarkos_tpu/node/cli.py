@@ -195,6 +195,11 @@ def main(argv=None):
     acct_sub = p_account.add_subparsers(dest="account_command", required=True)
     p_new = acct_sub.add_parser("new")
     p_new.add_argument("--seed", default=None)
+    p_new.add_argument("--vanity", default=None,
+                       help="search for an address containing this substring "
+                            "(commands/account.rs vanity mode)")
+    p_new.add_argument("--discreet", action="store_true",
+                       help="do not print the private key to the terminal")
     p_sign = acct_sub.add_parser("sign")
     p_sign.add_argument("--seed", required=True)
     p_sign.add_argument("--message", required=True)
@@ -214,7 +219,11 @@ def main(argv=None):
     p_exec.add_argument("--broadcast", default=None,
                         help="REST base url, e.g. http://127.0.0.1:3030/testnet")
     p_deploy = dev_sub.add_parser("deploy", help="create + broadcast a deployment")
-    p_deploy.add_argument("--payload", required=True)
+    p_deploy.add_argument("--payload", required=True,
+                          help="program source (with --program-id) or raw payload")
+    p_deploy.add_argument("--program-id", default=None,
+                          help="register the payload as this program's source; "
+                               "readable via GET /program/{id} once committed")
     p_deploy.add_argument("--fee", type=int, default=0)
     p_deploy.add_argument("--broadcast", default=None)
     p_scan = dev_sub.add_parser("scan", help="scan blocks via a REST endpoint")
@@ -247,10 +256,32 @@ def main(argv=None):
 
     if args.command == "account":
         if args.account_command == "new":
-            seed = (hashlib.sha256(args.seed.encode()).digest()
-                    if args.seed else os.urandom(32))
-            acct = edwards.Account.new(seed=seed)
-            print(f"  Private Key (seed)  {seed.hex()}")
+            if args.vanity:
+                # vanity search over the address body (commands/account.rs:40-92;
+                # addresses here are "aleo1" + hex, so the alphabet is hex)
+                needle = args.vanity.lower()
+                if not set(needle) <= set("0123456789abcdef") or not 0 < len(needle) <= 6:
+                    print("vanity string must be 1-6 hex characters "
+                          "(addresses are aleo1<hex>)", file=sys.stderr)
+                    return 1
+                attempts = 0
+                while True:
+                    seed = os.urandom(32)
+                    acct = edwards.Account.new(seed=seed)
+                    addr = point_to_address(acct.pk)
+                    attempts += 1
+                    if needle in addr[5:]:
+                        break
+                    if attempts % 10_000 == 0:
+                        print(f"... {attempts} attempts", file=sys.stderr)
+            else:
+                seed = (hashlib.sha256(args.seed.encode()).digest()
+                        if args.seed else os.urandom(32))
+                acct = edwards.Account.new(seed=seed)
+            if args.discreet:
+                print("  Private Key (seed)  <hidden; derive from your seed input>")
+            else:
+                print(f"  Private Key (seed)  {seed.hex()}")
             print(f"       Address        {point_to_address(acct.pk)}")
             return 0
         if args.account_command == "sign":
@@ -279,7 +310,10 @@ def main(argv=None):
         if args.dev_command in ("execute", "deploy"):
             from snarkos_tpu.node.ledger import create_transaction
 
-            tx = create_transaction(args.payload.encode(), fee=args.fee,
+            payload = args.payload.encode()
+            if args.dev_command == "deploy" and getattr(args, "program_id", None):
+                payload = f"program {args.program_id}\n".encode() + payload
+            tx = create_transaction(payload, fee=args.fee,
                                     is_deploy=args.dev_command == "deploy")
             print(f"transaction id: {tx.id.digest.hex()}")
             if args.broadcast:

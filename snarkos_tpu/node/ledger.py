@@ -56,6 +56,14 @@ class Ledger:
         self.block_index: dict[bytes, int] = {}
         self.committed_ids: set[TransmissionID] = set()
         self.committed_cert_ids: set[bytes] = set()
+        # program store (reference: snarkVM program/mapping state reached via
+        # REST lib.rs:132-191 program routes). Deploy transactions whose
+        # payload is b"program <id>\n<source>" register a program; execute
+        # transactions with payload b"call <id>/<mapping> <key>=<value>"
+        # update that program's mapping. Rebuilt deterministically from the
+        # committed chain on load.
+        self.programs: dict[str, str] = {}
+        self.mappings: dict[tuple[str, str], dict[str, str]] = {}
         self.lock = threading.RLock()
         self._load_or_init()
 
@@ -89,9 +97,44 @@ class Ledger:
         self.block_index[block.hash] = block.height
         for t in block.transmissions:
             self.committed_ids.add(t.id)
+            if t.kind == types.TX_TRANSACTION:
+                try:
+                    self._apply_program_ops(t.deserialize())
+                except Exception:
+                    pass  # non-program payloads carry arbitrary bytes
         if block.subdag:
             for cert in block.subdag.all_certificates():
                 self.committed_cert_ids.add(cert.id)
+
+    def _apply_program_ops(self, tx: Transaction) -> None:
+        """Deterministic program-state transition for committed transactions."""
+        payload = tx.payload
+        if tx.is_deploy and payload.startswith(b"program "):
+            head, _, source = payload.partition(b"\n")
+            program_id = head[len(b"program "):].strip().decode()
+            if program_id and program_id not in self.programs:
+                self.programs[program_id] = source.decode(errors="replace")
+        elif not tx.is_deploy and payload.startswith(b"call "):
+            # call <program_id>/<mapping> <key>=<value>
+            body = payload[len(b"call "):].decode(errors="replace")
+            target, _, assignment = body.partition(" ")
+            program_id, _, mapping = target.partition("/")
+            key, sep, value = assignment.partition("=")
+            if program_id in self.programs and mapping and sep:
+                self.mappings.setdefault((program_id, mapping), {})[key.strip()] = value.strip()
+
+    # -- program queries (REST program routes) --------------------------------
+    def get_program(self, program_id: str) -> Optional[str]:
+        return self.programs.get(program_id)
+
+    def program_mappings(self, program_id: str) -> list[str]:
+        return sorted(m for (p, m) in self.mappings if p == program_id)
+
+    def get_mapping_value(self, program_id: str, mapping: str, key: str) -> Optional[str]:
+        return self.mappings.get((program_id, mapping), {}).get(key)
+
+    def get_mapping(self, program_id: str, mapping: str) -> dict[str, str]:
+        return dict(self.mappings.get((program_id, mapping), {}))
 
     # -- queries -------------------------------------------------------------
     @property

@@ -101,6 +101,7 @@ class Rest:
 
     async def start(self):
         self.server = await asyncio.start_server(self._handle, "127.0.0.1", self.port)
+        self.port = self.server.sockets[0].getsockname()[1]
         log.info("REST listening on 127.0.0.1:%d", self.port)
 
     async def stop(self):
@@ -293,6 +294,26 @@ class Rest:
                                 for h in range(block.height, ledger.latest_height + 1)]
                         return 200, {"block_height": block.height, "path": path}
                 return 404, {"error": "transaction not found"}
+            # program/mapping reads (lib.rs:132-191 program routes). The
+            # full-mapping dump is JWT-guarded like the reference's bulk
+            # mapping reads (helpers/auth.rs).
+            case ["program", program_id]:
+                prog = ledger.get_program(program_id)
+                if prog is None:
+                    return 404, {"error": "unknown program"}
+                return 200, {"id": program_id, "source": prog}
+            case ["program", program_id, "mappings"]:
+                return 200, ledger.program_mappings(program_id)
+            case ["program", program_id, "mapping", name]:
+                token = headers.get("authorization", "").removeprefix("Bearer ").strip()
+                if not self.auth.verify(token):
+                    return 401, {"error": "unauthorized (bulk mapping read)"}
+                return 200, ledger.get_mapping(program_id, name)
+            case ["program", program_id, "mapping", name, key]:
+                val = ledger.get_mapping_value(program_id, name, key)
+                if val is None:
+                    return 404, {"error": "no such mapping entry"}
+                return 200, val
             case ["delegators", address]:
                 c = ledger.committee
                 for a, stake, is_open in c.members:

@@ -64,6 +64,7 @@ class Validator(_BaseNode):
             ip=node_ip, port=node_port, trusted_peers=trusted_peers,
             max_peers=200,
         )
+        self.router.latest_height_fn = lambda: self.ledger.latest_height
         self.block_sync = BlockSync(self.ledger_service, self._send_block_request)
         self.rest_port = rest_port
         self.rest = None
@@ -260,6 +261,7 @@ class Client(_BaseNode):
             account, msg.NodeType.CLIENT, self.ledger.blocks[0].hash,
             ip=node_ip, port=node_port, trusted_peers=trusted_peers,
         )
+        self.router.latest_height_fn = lambda: self.ledger.latest_height
         self.block_sync = BlockSync(self.ledger_service, self._send_block_request)
         self.rest_port = rest_port
         self.rest = None

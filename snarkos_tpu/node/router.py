@@ -33,6 +33,9 @@ HEARTBEAT_S = 25.0
 MINIMUM_NUMBER_OF_PEERS = 3
 MAXIMUM_NUMBER_OF_PEERS = 21
 MAX_VALIDATOR_PEERS = 200
+# inbound.rs:48: nodes more than this many blocks behind skip tx/solution
+# gossip (they can't validate against a stale ledger).
+SYNC_LENIENCY = 10
 
 
 def is_bogon_ip(ip: str) -> bool:
@@ -108,6 +111,9 @@ class Router:
         self.connection_attempts: dict[str, int] = defaultdict(int)
         self.cache = RateCache()
         self.sent_cache = RateCache()
+        # role hook: returns our latest block height (None -> always synced).
+        # Used for the SYNC_LENIENCY gossip gate (inbound.rs:48,237,267).
+        self.latest_height_fn: Optional[Callable[[], int]] = None
         # handler hooks (wired by the node role)
         self.handlers: dict[type, Callable] = {}
         self._tasks: list[asyncio.Task] = []
@@ -130,6 +136,21 @@ class Router:
 
     def number_of_connected_peers(self) -> int:
         return len(self.peers)
+
+    def num_blocks_behind(self) -> int:
+        """How far our chain tip trails the tallest peer's locators."""
+        if self.latest_height_fn is None:
+            return 0
+        ours = self.latest_height_fn()
+        tallest = max(
+            (p.block_locators.latest_height for p in self.peers.values()
+             if p.block_locators is not None),
+            default=0,
+        )
+        return max(0, tallest - ours)
+
+    def is_within_sync_leniency(self) -> bool:
+        return self.num_blocks_behind() <= SYNC_LENIENCY
 
     # -- handshake (handshake.rs:84-371) -------------------------------------
     async def _handshake(self, conn) -> None:
@@ -267,6 +288,9 @@ class Router:
                 await self.tcp.disconnect(addr)
                 return
         if isinstance(m, (msg.UnconfirmedSolution, msg.UnconfirmedTransaction)):
+            # syncing nodes skip tx/solution gossip entirely (inbound.rs:237,267)
+            if not self.is_within_sync_leniency():
+                return
             key = ("seen", m.solution_id if isinstance(m, msg.UnconfirmedSolution)
                    else m.transaction_id)
             if self.cache.seen_recently(key):
@@ -351,12 +375,28 @@ class Router:
         for addr in [a for a, t in self.restricted_peers.items() if now - t > 600]:
             del self.restricted_peers[addr]
         # 3. enforce bounds / top up
+        # 3a. cap provers at max/4 (heartbeat.rs: max_provers), oldest first
+        max_provers = max(1, self.max_peers // 4)
+        provers = sorted(
+            (a for a, p in self.peers.items() if p.node_type == msg.NodeType.PROVER),
+            key=lambda a: self.peers[a].first_seen,
+        )
+        for addr in provers[: max(0, len(provers) - max_provers)]:
+            await self.tcp.disconnect(addr)
         n = len(self.peers)
         if n > self.max_peers:
             extra = [a for a, p in self.peers.items()
                      if p.listening_addr not in self.trusted_peers]
             for addr in random.sample(extra, min(len(extra), n - self.max_peers)):
                 await self.tcp.disconnect(addr)
+        elif n == self.max_peers and self.candidate_peers:
+            # churn: rotate the longest-connected untrusted peer so the
+            # overlay keeps mixing (heartbeat.rs "remove oldest" rotation)
+            untrusted = [a for a, p in self.peers.items()
+                         if p.listening_addr not in self.trusted_peers]
+            if untrusted:
+                oldest = min(untrusted, key=lambda a: self.peers[a].first_seen)
+                await self.tcp.disconnect(oldest)
         elif n < MINIMUM_NUMBER_OF_PEERS or n < self.max_peers // 2:
             candidates = list(self.candidate_peers)[:8]
             for addr in candidates:

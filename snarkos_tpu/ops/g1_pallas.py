@@ -78,14 +78,17 @@ def add(pa: g1.JacobianPoints, pb: g1.JacobianPoints) -> g1.JacobianPoints:
     n_pad = -(-n // LANE_TILE) * LANE_TILE
     pa, pb = _pad_points(pa, n_pad), _pad_points(pb, n_pad)
     shape = jax.ShapeDtypeStruct((_L, n_pad), jnp.int32)
-    ox, oy, oz = pl.pallas_call(
-        _add_kernel,
-        grid=(n_pad // LANE_TILE,),
-        in_specs=[_coord_spec()] * 6,
-        out_specs=[_coord_spec()] * 3,
-        out_shape=[shape] * 3,
-        interpret=_interpret(),
-    )(pa.x, pa.y, pa.z, pb.x, pb.y, pb.z)
+    from snarkos_tpu.ops import modarith as fa
+
+    with fa.unrolled_muls():
+        ox, oy, oz = pl.pallas_call(
+            _add_kernel,
+            grid=(n_pad // LANE_TILE,),
+            in_specs=[_coord_spec()] * 6,
+            out_specs=[_coord_spec()] * 3,
+            out_shape=[shape] * 3,
+            interpret=_interpret(),
+        )(pa.x, pa.y, pa.z, pb.x, pb.y, pb.z)
     return g1.JacobianPoints(ox[:, :n], oy[:, :n], oz[:, :n])
 
 
@@ -116,12 +119,15 @@ def seg_combine(a, b):
     fb_p = _pad_lanes(fb_, n_pad, 1)
     cshape = jax.ShapeDtypeStruct((_L, n_pad), jnp.int32)
     fshape = jax.ShapeDtypeStruct((1, n_pad), jnp.int32)
-    of, ox, oy, oz = pl.pallas_call(
-        _seg_kernel,
-        grid=(n_pad // LANE_TILE,),
-        in_specs=[_flag_spec()] + [_coord_spec()] * 3 + [_flag_spec()] + [_coord_spec()] * 3,
-        out_specs=[_flag_spec()] + [_coord_spec()] * 3,
-        out_shape=[fshape] + [cshape] * 3,
-        interpret=_interpret(),
-    )(fa_p, pa.x, pa.y, pa.z, fb_p, pb.x, pb.y, pb.z)
+    from snarkos_tpu.ops import modarith as fa
+
+    with fa.unrolled_muls():
+        of, ox, oy, oz = pl.pallas_call(
+            _seg_kernel,
+            grid=(n_pad // LANE_TILE,),
+            in_specs=[_flag_spec()] + [_coord_spec()] * 3 + [_flag_spec()] + [_coord_spec()] * 3,
+            out_specs=[_flag_spec()] + [_coord_spec()] * 3,
+            out_shape=[fshape] + [cshape] * 3,
+            interpret=_interpret(),
+        )(fa_p, pa.x, pa.y, pa.z, fb_p, pb.x, pb.y, pb.z)
     return (of[:, :n], ox[:, :n], oy[:, :n], oz[:, :n])

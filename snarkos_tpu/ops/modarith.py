@@ -105,8 +105,93 @@ def double_impl(spec: FieldSpec, a: jax.Array) -> jax.Array:
     return add_impl(spec, a, a)
 
 
+# Trace-time mode switch: Pallas kernel bodies use the fully-unrolled
+# multiply (Mosaic keeps every intermediate in VMEM/registers and compiles
+# the flat op stream quickly); plain XLA paths use the rolled lax.scan
+# formulation below, whose graph is O(L) instead of O(L^2) — the unrolled
+# form takes XLA (especially XLA:CPU) minutes to compile per shape.
+_FORCE_UNROLLED = False
+
+
+class unrolled_muls:
+    """Context manager: force the unrolled multiply while tracing (used by
+    ops/g1_pallas.py around pallas_call so kernel bodies stay flat)."""
+
+    def __enter__(self):
+        global _FORCE_UNROLLED
+        self._prev = _FORCE_UNROLLED
+        _FORCE_UNROLLED = True
+
+    def __exit__(self, *exc):
+        global _FORCE_UNROLLED
+        _FORCE_UNROLLED = self._prev
+        return False
+
+
 def mont_mul_impl(spec: FieldSpec, a: jax.Array, b: jax.Array) -> jax.Array:
     """a * b * R^{-1} mod p — the workhorse. ~2 L^2 int32 multiplies."""
+    if not _FORCE_UNROLLED:
+        return _mont_mul_rolled(spec, a, b)
+    return _mont_mul_unrolled(spec, a, b)
+
+
+def _mont_mul_rolled(spec: FieldSpec, a: jax.Array, b: jax.Array) -> jax.Array:
+    """Rolled CIOS-style Montgomery multiply: two lax.scans of length L.
+
+    Stage A accumulates the operand-product columns by Horner over a's
+    limbs (high limb first; each step shifts the accumulator up one limb
+    and adds the (L+1)-column contribution of one a-limb). Stage B is the
+    Montgomery reduction: each step folds the lowest column into a
+    multiple of 2^16 via m = t0 * (-p^-1) mod 2^16, pushes its carry up,
+    and drops the consumed column (shift down). Column values are exactly
+    the unrolled version's column sums, so the overflow analysis in the
+    module docstring carries over unchanged; results are bit-identical.
+    """
+    L = spec.nlimbs
+    # operands may broadcast against each other (e.g. an (L, 1) constant
+    # times an (L, B) batch) — accumulate at the broadcast batch shape
+    batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    zero_row = jnp.zeros((1,) + tuple(batch), jnp.int32)
+    p_col = jnp.array(spec.p_limbs, dtype=jnp.int32).reshape((L,) + (1,) * len(batch))
+
+    def prod_step(t, a_i):
+        prod = a_i[None] * b  # wrapping int32; lo/hi halves are exact
+        lo = prod & LIMB_MASK
+        hi = (prod >> LIMB_BITS) & LIMB_MASK
+        contrib = (jnp.concatenate([lo, zero_row], axis=0)
+                   + jnp.concatenate([zero_row, hi], axis=0))  # (L+1, batch)
+        t = jnp.concatenate([zero_row, t[:-1]], axis=0)  # acc *= 2^16
+        t = t.at[: L + 1].add(contrib)
+        return t, None
+
+    t0 = jnp.zeros((2 * L + 1,) + tuple(batch), jnp.int32)
+    t, _ = jax.lax.scan(prod_step, t0, a[::-1])
+
+    def red_step(t, _):
+        tcur = t[0]  # full column value (nonnegative, < 2^23)
+        carry0 = tcur >> LIMB_BITS
+        ti = tcur & LIMB_MASK
+        m = (ti * spec.n0inv) & LIMB_MASK
+        prod = m[None] * p_col
+        lo = prod & LIMB_MASK
+        hi = (prod >> LIMB_BITS) & LIMB_MASK
+        # ti + lo[0] is a multiple of 2^16 by construction of m
+        extra0 = (ti + lo[0]) >> LIMB_BITS
+        contrib = (jnp.concatenate([lo, zero_row], axis=0)
+                   + jnp.concatenate([zero_row, hi], axis=0))
+        t = t.at[: L + 1].add(contrib)
+        t = t.at[1].add(carry0 + extra0)
+        # drop the consumed (folded) bottom column
+        t = jnp.concatenate([t[1:], zero_row], axis=0)
+        return t, None
+
+    t, _ = jax.lax.scan(red_step, t, None, length=L)
+    out = _normalize([t[i] for i in range(L + 1)], L + 1)
+    # result < 2p < 2^(16 L): top column is provably zero after carries
+    return _stack(_cond_sub_p(spec, out[:L]))
+
+
+def _mont_mul_unrolled(spec: FieldSpec, a: jax.Array, b: jax.Array) -> jax.Array:
     L = spec.nlimbs
     ar, br = _rows(a), _rows(b)
     t: list = [None] * (2 * L + 1)

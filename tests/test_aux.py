@@ -306,3 +306,87 @@ async def test_restart_rejoins_at_tip(tmp_path):
             assert v0.consensus.storage.contains_certificate(cert.id)
     finally:
         await v0.shut_down()
+
+
+# ------------------------------------------------------------ program store
+def test_program_store_and_rest_routes():
+    """Deploy transactions register programs; calls update mappings; the
+    program REST routes (lib.rs:132-191 program routes) serve them."""
+    from snarkos_tpu.node.ledger import Ledger, create_transaction
+    from snarkos_tpu.node.types import Block, Transmission
+
+    committee = dev_committee(2)
+    ledger = Ledger(committee)
+    deploy = create_transaction(b"program token\nmapping balances;", is_deploy=True)
+    call = create_transaction(b"call token/balances alice=42")
+    prev = ledger.latest_block
+    block = Block(
+        height=prev.height + 1, previous_hash=prev.hash,
+        timestamp=prev.timestamp + 1, round=2, epoch_hash=prev.epoch_hash,
+        proof_target=prev.proof_target, subdag=None,
+        transmissions=(Transmission.from_transaction(deploy),
+                       Transmission.from_transaction(call)),
+    )
+    ledger.advance_to_next_block(block)
+    assert ledger.get_program("token") == "mapping balances;"
+    assert ledger.program_mappings("token") == ["balances"]
+    assert ledger.get_mapping_value("token", "balances", "alice") == "42"
+    assert ledger.get_mapping("token", "balances") == {"alice": "42"}
+    assert ledger.get_program("nope") is None
+
+
+@pytest.mark.asyncio
+async def test_program_rest_endpoints():
+    from snarkos_tpu.node.ledger import Ledger, MockLedgerService, create_transaction
+    from snarkos_tpu.node.rest import Rest
+    from snarkos_tpu.node.types import Block, Transmission
+
+    committee = dev_committee(2)
+    ledger = Ledger(committee)
+    deploy = create_transaction(b"program token\nsrc", is_deploy=True)
+    call = create_transaction(b"call token/balances bob=7")
+    prev = ledger.latest_block
+    ledger.advance_to_next_block(Block(
+        height=1, previous_hash=prev.hash, timestamp=prev.timestamp + 1,
+        round=2, epoch_hash=prev.epoch_hash, proof_target=prev.proof_target,
+        subdag=None,
+        transmissions=(Transmission.from_transaction(deploy),
+                       Transmission.from_transaction(call)),
+    ))
+
+    class FakeRouter:
+        peers = {}
+
+        def number_of_connected_peers(self):
+            return 0
+
+        def propagate(self, m, exclude=None):
+            return 0
+
+    class FakeNode:
+        account = _AV(dev_account(0))
+        router = FakeRouter()
+        consensus = None
+        ledger_service = MockLedgerService(committee)
+
+    node = FakeNode()
+    node.ledger = ledger
+    rest = Rest(node, port=0)
+    await rest.start()
+    try:
+        port = rest.port
+        status, body = await _http(port, "GET", "/testnet/program/token")
+        assert status == 200 and body["source"] == "src"
+        status, body = await _http(port, "GET", "/testnet/program/token/mapping/balances/bob")
+        assert status == 200 and body == "7"
+        # full-mapping dump requires JWT
+        status, _ = await _http(port, "GET", "/testnet/program/token/mapping/balances")
+        assert status == 401
+        status, body = await _http(
+            port, "GET", "/testnet/program/token/mapping/balances",
+            headers={"Authorization": f"Bearer {rest.auth.issue()}"})
+        assert status == 200 and body == {"bob": "7"}
+        status, _ = await _http(port, "GET", "/testnet/program/zzz")
+        assert status == 404
+    finally:
+        await rest.stop()
