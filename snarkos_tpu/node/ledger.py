@@ -230,15 +230,33 @@ class Ledger:
                 raise ValueError(f"transmission {t.id} already committed")
         if block.subdag is not None:
             self._check_subdag(block)
-        # verify transmissions (the [HOT] path)
+        # verify transmissions (the [HOT] path): structural checks per
+        # item, then ALL pairing equations collapse into one 2-pairing
+        # KZG batch (ops/kzg.batch_verify; device MSM point side) — the
+        # reference verifies each transmission's proof separately on CPU
+        # rayon threads (ledger.rs:319-342)
+        from snarkos_tpu.ops import kzg as kzg_ops
+        from snarkos_tpu.ops.puzzle import global_puzzle
+
+        openings = []
         for t in block.transmissions:
             obj = t.deserialize()
             if isinstance(obj, Solution):
-                if not self._verify_solution_for(obj, block):
+                opening = self._solution_opening_for(obj, block)
+                if opening is None:
                     raise ValueError("invalid solution in block")
             else:
-                if not verify_transaction(obj):
+                opening = transaction_opening(obj)
+                if opening is None:
                     raise ValueError("invalid transaction in block")
+            openings.append(opening)
+        if openings and not kzg_ops.batch_verify(global_puzzle().srs.srs_ref, openings):
+            # pinpoint the offender for the error message (rare path)
+            srs = global_puzzle().srs.srs_ref
+            for i, (c, z, y, w) in enumerate(openings):
+                if not ref_kzg.verify(srs, c, z, y, w):
+                    raise ValueError(f"invalid proof for transmission #{i} in block")
+            raise ValueError("batch proof verification failed")
 
     def _check_subdag(self, block: Block):
         sub = block.subdag
@@ -259,16 +277,27 @@ class Ledger:
                     raise ValueError("invalid certificate in subdag")
 
     def _verify_solution_for(self, sol: Solution, block: Block) -> bool:
+        from snarkos_tpu.crypto.ref import kzg as _rk
+        from snarkos_tpu.ops.puzzle import global_puzzle
+
+        opening = self._solution_opening_for(sol, block)
+        if opening is None:
+            return False
+        c, z, y, w = opening
+        return _rk.verify(global_puzzle().srs.srs_ref, c, z, y, w)
+
+    def _solution_opening_for(self, sol: Solution, block: Block):
+        """Structural checks for a solution inside ``block``; returns the
+        (C, z, y, W) opening for batched pairing verification or None."""
         from snarkos_tpu.ops.puzzle import global_puzzle
 
         # the solution must target the PREVIOUS block's epoch (it was mined
         # before this block existed)
         prev = self.blocks[block.height - 1] if block.height >= 1 else self.latest_block
         if sol.epoch_hash != prev.epoch_hash:
-            return False
-        return global_puzzle().verify(
-            sol.epoch_hash, sol.address, sol.nonce, sol.commitment,
-            sol.eval_y, sol.witness, prev.proof_target,
+            return None
+        return global_puzzle().check_structural(
+            sol.commitment, sol.eval_y, sol.witness, prev.proof_target
         )
 
     def advance_to_next_block(self, block: Block) -> None:
@@ -295,20 +324,32 @@ class Ledger:
 # --------------------------------------------------------------------------
 
 
-def verify_transaction(tx: Transaction) -> bool:
-    from snarkos_tpu.ops.puzzle import _g1_from_bytes, global_puzzle
+def transaction_opening(tx: Transaction):
+    """Structural transaction checks (encoding, canonicality, Fiat-Shamir
+    challenge recomputation); returns the (C, z, y, W) opening for
+    (batched) pairing verification, or None if structurally invalid."""
+    from snarkos_tpu.ops.puzzle import _g1_from_bytes
 
     try:
         c_pt = _g1_from_bytes(tx.commitment)
         w_pt = _g1_from_bytes(tx.witness)
     except ValueError:
-        return False
+        return None
     if not (0 <= tx.eval_y < R and 0 <= tx.challenge < R):
-        return False
+        return None
     if tx.challenge != transaction_challenge(tx.payload, tx.commitment):
+        return None
+    return (c_pt, tx.challenge, tx.eval_y, w_pt)
+
+
+def verify_transaction(tx: Transaction) -> bool:
+    from snarkos_tpu.ops.puzzle import global_puzzle
+
+    opening = transaction_opening(tx)
+    if opening is None:
         return False
-    srs = global_puzzle().srs.srs_ref
-    return ref_kzg.verify(srs, c_pt, tx.challenge, tx.eval_y, w_pt)
+    c_pt, z, y, w_pt = opening
+    return ref_kzg.verify(global_puzzle().srs.srs_ref, c_pt, z, y, w_pt)
 
 
 def create_transaction(payload: bytes, fee: int = 0, degree: int = 16,

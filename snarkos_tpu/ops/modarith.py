@@ -161,7 +161,10 @@ def _mont_mul_rolled(spec: FieldSpec, a: jax.Array, b: jax.Array) -> jax.Array:
         contrib = (jnp.concatenate([lo, zero_row], axis=0)
                    + jnp.concatenate([zero_row, hi], axis=0))  # (L+1, batch)
         t = jnp.concatenate([zero_row, t[:-1]], axis=0)  # acc *= 2^16
-        t = t.at[: L + 1].add(contrib)
+        # static slice + concat (NOT .at[].add scatter: scatter cannot
+        # resolve an output sharding when the accumulator is replicated
+        # and the update is batch-sharded — breaks pjit'ed callers)
+        t = jnp.concatenate([t[: L + 1] + contrib, t[L + 1 :]], axis=0)
         return t, None
 
     t0 = jnp.zeros((2 * L + 1,) + tuple(batch), jnp.int32)
@@ -179,8 +182,8 @@ def _mont_mul_rolled(spec: FieldSpec, a: jax.Array, b: jax.Array) -> jax.Array:
         extra0 = (ti + lo[0]) >> LIMB_BITS
         contrib = (jnp.concatenate([lo, zero_row], axis=0)
                    + jnp.concatenate([zero_row, hi], axis=0))
-        t = t.at[: L + 1].add(contrib)
-        t = t.at[1].add(carry0 + extra0)
+        t = jnp.concatenate([t[: L + 1] + contrib, t[L + 1 :]], axis=0)
+        t = jnp.concatenate([t[:1], (t[1] + carry0 + extra0)[None], t[2:]], axis=0)
         # drop the consumed (folded) bottom column
         t = jnp.concatenate([t[1:], zero_row], axis=0)
         return t, None

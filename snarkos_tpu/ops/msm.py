@@ -103,6 +103,36 @@ def window_digits(scalar_limbs: jax.Array, c: int) -> jax.Array:
 # --------------------------------------------------------------------------
 
 
+def _hillis_steele_prefix(seg, group: GroupOps, state, width: int, nelems: int):
+    """Inclusive segmented PREFIX scan over the trailing axis via
+    Hillis-Steele, as ONE fori_loop over log2(width) steps with a dynamic
+    roll — the combine is traced exactly once (compile economy: the
+    unrolled form instantiates log2(width) copies of the full group-add
+    graph, which XLA:CPU compiles pathologically slowly).
+
+    state: (flags, *pts) tuple; width = trailing-axis size (power of two
+    padding allowed); nelems = len(pts).
+    """
+    lane_ids = jnp.arange(width)[None, :]
+    steps = max(width - 1, 1).bit_length()  # ceil(log2(width))
+    pad_pts1 = group.identity(1)  # (..., 1) identity, broadcast against rolls
+
+    def body(i, cur):
+        d = jnp.int32(1) << i
+        pad_lane = lane_ids < d
+        shifted_flag = jnp.where(pad_lane, 1, jnp.roll(cur[0], d, axis=-1))
+        shifted_pts = tuple(
+            jnp.where(pad_lane, pad_pts1[k], jnp.roll(cur[1 + k], d, axis=-1))
+            for k in range(nelems)
+        )
+        combined = seg((shifted_flag,) + shifted_pts, cur)
+        return tuple(
+            jnp.where(pad_lane, old, new) for old, new in zip(cur, combined)
+        )
+
+    return jax.lax.fori_loop(0, steps, body, tuple(state))
+
+
 def _seg_scan_chunked(seg, group: GroupOps, flags: jax.Array, pts, K: int):
     """Segmented inclusive scan of (flags, pts) along the trailing axis.
 
@@ -133,25 +163,7 @@ def _seg_scan_chunked(seg, group: GroupOps, flags: jax.Array, pts, K: int):
     lane_agg, _ = jax.lax.scan(step, init, xs)
     # cross-lane inclusive segmented scan (Hillis-Steele, width K; reuses
     # the SAME fused kernel shape as the m-step passes)
-    summaries = lane_agg
-    lane_ids = jnp.arange(K)
-    d = 1
-    while d < K:
-        pad_flag = jnp.ones((1, d), jnp.int32)
-        pad_pts = group.identity(d)
-        shifted = (
-            jnp.concatenate([pad_flag, summaries[0][..., :-d]], axis=-1),
-        ) + tuple(
-            jnp.concatenate([pad_pts[i], summaries[1 + i][..., :-d]], axis=-1)
-            for i in range(len(pts))
-        )
-        combined = seg(shifted, summaries)
-        keep_old = (lane_ids < d)[None, :]
-        summaries = tuple(
-            jnp.where(keep_old, old, new)
-            for old, new in zip(summaries, combined)
-        )
-        d *= 2
+    summaries = _hillis_steele_prefix(seg, group, lane_agg, K, len(pts))
     # carry into lane k = inclusive scan value of lane k-1 (identity for 0)
     carry_flag = jnp.concatenate(
         [jnp.ones((1, 1), jnp.int32), summaries[0][..., :-1]], axis=-1
@@ -190,20 +202,9 @@ def msm_generic(group: GroupOps, points, scalar_limbs: jax.Array, c: int,
         with the same seg kernel (flags = 0 -> plain adds)."""
         rev = tuple(t[..., ::-1] for t in vals)
         flags = jnp.zeros((1, num_buckets), jnp.int32)
-        cur = (flags,) + rev
-        d = 1
-        while d < num_buckets:
-            pad_pts = group.identity(d)
-            shifted = (
-                jnp.concatenate([jnp.ones((1, d), jnp.int32), cur[0][..., :-d]], axis=-1),
-            ) + tuple(
-                jnp.concatenate([pad_pts[i], cur[1 + i][..., :-d]], axis=-1)
-                for i in range(len(vals))
-            )
-            combined = seg(shifted, cur)
-            keep_old = (bpos < d)[None, :]
-            cur = tuple(jnp.where(keep_old, old, new) for old, new in zip(cur, combined))
-            d *= 2
+        cur = _hillis_steele_prefix(
+            seg, group, (flags,) + rev, num_buckets, len(vals)
+        )
         return tuple(t[..., ::-1] for t in cur[1:])
 
     def window_body(acc, digits_w):
@@ -282,15 +283,20 @@ def _g1_group(use_pallas: bool = True) -> GroupOps:
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
-def msm(points, scalar_limbs: jax.Array, c: int = 0, use_pallas: bool = True,
+def msm(points, scalar_limbs: jax.Array, c: int = 0, use_pallas: bool | None = None,
         chunk_lanes: int = 4096):
     """MSM over BLS12-377 G1.
 
     points: JacobianPoints with (L, N) coords (Montgomery); scalar_limbs:
     (16, N) canonical int32 Fr limbs. Returns a JacobianPoints batch of 1.
+    use_pallas=None resolves at trace time: fused Pallas kernels on TPU,
+    plain XLA elsewhere (interpret-mode Pallas is orders of magnitude
+    slower than compiled XLA on CPU).
     """
     from snarkos_tpu.ops import g1 as g1ops
 
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
     n = scalar_limbs.shape[-1]
     if c == 0:
         c = default_window_bits(n)

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 
 from snarkos_tpu.crypto import params
 from snarkos_tpu.crypto.ref import edwards, g1 as ref_g1, kzg as ref_kzg, pairing, poseidon as ref_poseidon
-from snarkos_tpu.ops import g1 as g1ops, modarith as fa, msm as msm_mod, poseidon as poseidon_ops
+from snarkos_tpu.ops import g1 as g1ops, kzg as kzg_ops, modarith as fa, msm as msm_mod, poseidon as poseidon_ops
 from snarkos_tpu.ops.fieldspec import FQ, FR
 
 R = params.FR_MODULUS
@@ -164,19 +164,11 @@ class Puzzle:
         c_bytes = _g1_to_bytes(c_jac)
         # Fiat-Shamir challenge from the commitment
         z = self._challenge(c_bytes)
-        # open on host: y = p(z), q = (p - y)/(X - z) (K sequential steps)
-        coeffs = FR.decode_fast(np.asarray(coeffs_canon))
-        y = 0
-        for c in reversed(coeffs):
-            y = (y * z + c) % R
-        q = [0] * (self.k - 1)
-        carry = 0
-        for i in range(self.k - 1, 0, -1):
-            carry = (coeffs[i] + carry * z) % R
-            q[i - 1] = carry
-        q.append(0)  # pad to K so the MSM shape matches the commit MSM
-        q_limbs = jnp.array(FR.encode_fast(q))
-        witness_pt = msm_mod.msm(_slice_points(self.srs.points, self.k), q_limbs)
+        # open fully on device: parallel eval + closed-form quotient
+        # (ops/kzg.py) + witness MSM — no host serial division
+        y, witness_pt = kzg_ops.open_at(
+            _slice_points(self.srs.points, self.k), coeffs_mont, z
+        )
         w_bytes = _g1_to_bytes(g1ops.decode_points(witness_pt)[0])
         solution_id = sha64(c_bytes, y.to_bytes(32, "little"))
         if proof_target is not None and not self.passes_target(solution_id, proof_target):
@@ -198,18 +190,55 @@ class Puzzle:
                commitment: bytes, eval_y: int, witness: bytes,
                proof_target: int) -> bool:
         """Cheap asymmetric check: target + pairing equation (host)."""
+        opening = self.check_structural(commitment, eval_y, witness, proof_target)
+        if opening is None:
+            return False
+        c_pt, z, y, w_pt = opening
+        return ref_kzg.verify(self.srs.srs_ref, c_pt, z, y, w_pt)
+
+    def check_structural(self, commitment: bytes, eval_y: int, witness: bytes,
+                         proof_target: int):
+        """Everything except the pairing equation: decoding, canonicality,
+        target. Returns the (C, z, y, W) opening for (batch) pairing
+        verification, or None if structurally invalid."""
         try:
             c_pt = _g1_from_bytes(commitment)
             w_pt = _g1_from_bytes(witness)
         except ValueError:
-            return False
+            return None
         if not (0 <= eval_y < R):
-            return False
+            return None
         solution_id = sha64(commitment, eval_y.to_bytes(32, "little"))
         if not self.passes_target(solution_id, proof_target):
-            return False
+            return None
         z = self._challenge(commitment)
-        return ref_kzg.verify(self.srs.srs_ref, c_pt, z, eval_y, w_pt)
+        return (c_pt, z, eval_y, w_pt)
+
+    def verify_batch(self, items) -> bool:
+        """Verify many solutions with TWO pairings total (all-or-nothing).
+
+        items: iterable of (commitment, eval_y, witness, proof_target).
+        The per-solution structural checks run individually; the pairing
+        equations collapse into one random-linear-combination batch
+        (ops/kzg.batch_verify — device MSM for the point side). The
+        reference verifies each gossiped solution separately on CPU
+        (ledger-service/src/ledger.rs:306-315); batching is the TPU-native
+        block-rate win. Callers fall back to verify() to isolate offenders.
+        """
+        from snarkos_tpu.ops import kzg as kzg_ops
+
+        openings = []
+        for commitment, eval_y, witness, proof_target in items:
+            opening = self.check_structural(commitment, eval_y, witness, proof_target)
+            if opening is None:
+                return False
+            openings.append(opening)
+        if not openings:
+            return True
+        if len(openings) == 1:
+            c_pt, z, y, w_pt = openings[0]
+            return ref_kzg.verify(self.srs.srs_ref, c_pt, z, y, w_pt)
+        return kzg_ops.batch_verify(self.srs.srs_ref, openings)
 
 
 def _slice_points(points: "g1ops.JacobianPoints", n: int) -> "g1ops.JacobianPoints":

@@ -24,7 +24,7 @@ def msm_dist(
     scalar_limbs: jax.Array,
     mesh: Mesh,
     c: int = 0,
-    use_pallas: bool = True,
+    use_pallas: bool | None = None,
     axis: str = "x",
 ) -> g1ops.JacobianPoints:
     """points: (L, N) coords / scalar_limbs: (16, N), N divisible by the
@@ -34,6 +34,8 @@ def msm_dist(
     assert n % d == 0, (n, d)
     if c == 0:
         c = msm_mod.default_window_bits(n // d)
+    if use_pallas is None:
+        use_pallas = mesh.devices.flat[0].platform == "tpu"
     group = msm_mod._g1_group(use_pallas)
 
     shard = NamedSharding(mesh, P(None, axis))

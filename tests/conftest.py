@@ -8,11 +8,14 @@ is imported anywhere.
 
 import os
 
-# NOTE: the axon TPU plugin in this image ignores JAX_PLATFORMS, so most
-# tests actually execute on the attached TPU chip when present (real-
-# hardware validation). Sharding tests explicitly build CPU-backend meshes
-# (the CPU backend honors --xla_force_host_platform_device_count).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: the axon TPU plugin self-registers from sitecustomize and the
+# image env pins JAX_PLATFORMS=axon, so a setdefault is not enough —
+# tests must force the CPU backend explicitly (the device tunnel adds
+# tens of seconds of latency per compile, which makes TPU-backed test
+# runs unusable; bit-exactness is identical on CPU). Set
+# SNARKOS_TPU_TEST_PLATFORM=axon to run the suite on the real chip.
+_platform = os.environ.get("SNARKOS_TPU_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _platform
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
@@ -22,6 +25,7 @@ if "xla_force_host_platform_device_count" not in _flags:
 # test sessions.
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", _platform)  # wins over plugin re-registration
 jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 

@@ -63,6 +63,32 @@ class TestPuzzleHostSide:
         assert pz.passes_target((1 << 64) // 4, 4)
         assert not pz.passes_target((1 << 64) // 4 + 1, 4)
 
+    @pytest.mark.slow
+    def test_verify_batch_two_pairings(self, small_puzzle):
+        """verify_batch collapses N solutions into one RLC batch check
+        (ops/kzg.batch_verify); all-valid passes, one tamper fails."""
+        from snarkos_tpu.ops.puzzle import _g1_to_bytes
+
+        pz = small_puzzle
+        items = []
+        for nonce in (1, 2):
+            seed = pz._seed_field(b"\x07" * 32, "aleo1batch", nonce)
+            coeffs = [
+                ref_poseidon.hash_many([seed, i], rate=2,
+                                       domain="snarkos_tpu.puzzle.coeff")[0]
+                for i in range(pz.k)
+            ]
+            c_bytes = _g1_to_bytes(ref_kzg.commit(pz.srs.srs_ref, coeffs))
+            z = pz._challenge(c_bytes)
+            y, w_pt = ref_kzg.open_at(pz.srs.srs_ref, coeffs, z)
+            items.append((c_bytes, y, _g1_to_bytes(w_pt), 1))
+        assert pz.verify_batch(items)
+        assert pz.verify_batch([])
+        assert pz.verify_batch(items[:1])
+        c_bytes, y, w_bytes, tgt = items[0]
+        bad = [((c_bytes, (y + 1) % params.FR_MODULUS, w_bytes, tgt)), items[1]]
+        assert not pz.verify_batch(bad)
+
 
 @pytest.mark.skipif(not _is_tpu(), reason="TPU-only: Pallas MSM path")
 class TestPuzzleTPU:
