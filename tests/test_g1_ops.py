@@ -9,6 +9,8 @@ from snarkos_tpu.crypto import params
 from snarkos_tpu.crypto.ref import g1 as ref
 from snarkos_tpu.ops import g1 as ops
 
+pytestmark = pytest.mark.slow  # device-op tier: XLA:CPU compile-heavy (README two-tier run)
+
 RNG = random.Random(99)
 
 

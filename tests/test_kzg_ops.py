@@ -12,6 +12,8 @@ from snarkos_tpu.crypto import params
 from snarkos_tpu.ops import kzg as kzg_ops
 from snarkos_tpu.ops.fieldspec import FR
 
+pytestmark = pytest.mark.slow  # device-op tier: XLA:CPU compile-heavy (README two-tier run)
+
 R = params.FR_MODULUS
 RNG = random.Random(77)
 

@@ -8,6 +8,8 @@ import jax.numpy as jnp
 from snarkos_tpu.crypto import params
 from snarkos_tpu.ops import fieldspec, modarith
 
+pytestmark = pytest.mark.slow  # device-op tier: XLA:CPU compile-heavy (README two-tier run)
+
 RNG = np.random.default_rng(7)
 
 

@@ -10,6 +10,8 @@ from snarkos_tpu.crypto import params
 from snarkos_tpu.ops import msm as msm_mod
 from snarkos_tpu.ops.fieldspec import FR
 
+pytestmark = pytest.mark.slow  # device-op tier: XLA:CPU compile-heavy (README two-tier run)
+
 RNG = random.Random(1234)
 
 MOCK_MOD = 1_000_000_007

@@ -11,6 +11,8 @@ from snarkos_tpu.crypto.ref import ntt as ref
 from snarkos_tpu.ops import ntt as ops
 from snarkos_tpu.ops.fieldspec import FR
 
+pytestmark = pytest.mark.slow  # device-op tier: XLA:CPU compile-heavy (README two-tier run)
+
 RNG = random.Random(17)
 
 

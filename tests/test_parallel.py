@@ -12,10 +12,10 @@ from snarkos_tpu.ops.fieldspec import FR
 from snarkos_tpu.parallel import ntt_dist
 from snarkos_tpu.parallel.mesh import make_mesh, shard_last
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     len(jax.local_devices(backend="cpu")) < 4,
     reason="needs the 8-device virtual CPU mesh",
-)
+)]
 
 
 def test_ntt_dist_matches_reference():

@@ -4,11 +4,14 @@ import random
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from snarkos_tpu.crypto import params
 from snarkos_tpu.crypto.ref import poseidon as ref
 from snarkos_tpu.ops import poseidon as ops
 from snarkos_tpu.ops.fieldspec import FR
+
+pytestmark = pytest.mark.slow  # device-op tier: XLA:CPU compile-heavy (README two-tier run)
 
 RNG = random.Random(5)
 

@@ -10,6 +10,8 @@ import pytest
 from snarkos_tpu.crypto import params
 from snarkos_tpu.crypto.ref import kzg as ref_kzg, ntt as ref_ntt, poseidon as ref_poseidon
 
+pytestmark = pytest.mark.slow  # device-op tier: XLA:CPU compile-heavy (README two-tier run)
+
 
 def _is_tpu():
     import jax
