@@ -386,6 +386,15 @@ class LedgerService:
     def latest_height(self) -> int: raise NotImplementedError
     def latest_block(self) -> Block: raise NotImplementedError
     def get_block(self, height: int) -> Block: raise NotImplementedError
+
+    def get_block_hash(self, height: int):
+        """Canonical hash at height, or None (traits.rs get_block_hash)."""
+        if height > self.latest_height():
+            return None
+        try:
+            return self.get_block(height).hash
+        except Exception:
+            return None
     def current_committee(self) -> Committee: raise NotImplementedError
     def committee_lookback_for(self, round_: int) -> Committee: raise NotImplementedError
     def contains_certificate(self, cid: bytes) -> bool: raise NotImplementedError

@@ -99,3 +99,28 @@ def test_msm_dist_mock_sharding():
     out = int(np.asarray(sharded(pts, sc))[0, 0])
     expect = sum(k * int(x) for k, x in zip(scalars, xs[0])) % MOD
     assert out == expect
+
+
+def test_msm_dist_real_g1():
+    """REAL BLS12-377 G1 points through the production msm_dist path on a
+    4-device mesh (VERDICT r1 item 4: the real-field multi-device MSM had
+    never been executed)."""
+    import random
+
+    from snarkos_tpu.crypto.ref import g1 as ref_g1
+    from snarkos_tpu.ops import g1 as g1ops
+    from snarkos_tpu.parallel import msm_dist
+
+    rng = random.Random(99)
+    mesh = make_mesh(4, backend="cpu")
+    n = 8
+    scalars = [rng.randrange(params.FR_MODULUS) for _ in range(n)]
+    scalars[3] = 0  # zero-scalar lane on a shard
+    pts = [ref_g1.scalar_mul(rng.randrange(1, 1 << 48), ref_g1.GENERATOR)
+           for _ in range(n)]
+    enc = g1ops.encode_points(pts)
+    limbs = jnp.array(FR.encode(scalars, mont=False))
+    out = msm_dist.msm_dist(enc, limbs, mesh, c=4, use_pallas=False)
+    got = ref_g1.affine(g1ops.decode_points(
+        g1ops.JacobianPoints(out.x[..., :1], out.y[..., :1], out.z[..., :1]))[0])
+    assert got == ref_g1.affine(ref_g1.msm(scalars, pts))
