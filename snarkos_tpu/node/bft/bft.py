@@ -162,11 +162,7 @@ class BFT:
             next_frontier = {}
             for cert in frontier.values():
                 for cid in cert.batch_header.previous_certificate_ids:
-                    prev = None
-                    for c in self.dag.round(r - 1).values():
-                        if c.id == cid:
-                            prev = c
-                            break
+                    prev = self.dag.get_by_id(r - 1, cid)
                     if prev is not None:
                         next_frontier[prev.id] = prev
             frontier = next_frontier
@@ -209,12 +205,10 @@ class BFT:
                 return
             seen.add(cert.id)
             if cert.round > 1:
-                prev_ids = sorted(cert.batch_header.previous_certificate_ids)
-                for cid in prev_ids:
-                    for c in self.dag.round(cert.round - 1).values():
-                        if c.id == cid:
-                            visit(c)
-                            break
+                for cid in sorted(cert.batch_header.previous_certificate_ids):
+                    c = self.dag.get_by_id(cert.round - 1, cid)
+                    if c is not None:
+                        visit(c)
             ordered.append(cert)
 
         visit(anchor)

@@ -48,6 +48,17 @@ MAX_WORKERS = 1
 MAX_TRANSMISSIONS_PER_BATCH = BatchHeader.MAX_TRANSMISSIONS_PER_BATCH
 
 
+def assign_to_worker(tid: TransmissionID, num_workers: int) -> int:
+    """sha256d-based mempool partition (helpers/partition.rs:32-67): the
+    low 128 bits of sha256d(tid bytes) mod the worker count."""
+    if num_workers == 1:
+        return 0
+    from snarkos_tpu.utils import native
+
+    h = native.sha256d(tid.to_bytes())
+    return int.from_bytes(h[:16], "little") % num_workers
+
+
 @dataclass
 class Proposal:
     """An in-flight batch proposal accumulating peer signatures
@@ -219,13 +230,17 @@ class Primary:
     """The Narwhal primary (primary.rs:82-105)."""
 
     def __init__(self, account, ledger, storage: NarwhalStorage, transport,
-                 on_certificate: Optional[Callable] = None):
+                 on_certificate: Optional[Callable] = None,
+                 num_workers: int = MAX_WORKERS):
         self.account = account
         self.ledger = ledger
         self.storage = storage
         self.transport = transport
-        self.worker = Worker(0, ledger, storage, transport)
-        self.worker.extra_lookup = self._lookup_proposal_transmission
+        self.workers = [Worker(i, ledger, storage, transport)
+                        for i in range(max(1, num_workers))]
+        for w in self.workers:
+            w.extra_lookup = self._lookup_proposal_transmission
+        self.worker = self.workers[0]  # single-worker fast path / compat
         self.proposed_batch: Optional[Proposal] = None
         self.signed_proposals: dict[str, tuple] = {}  # author -> (round, batch_id, sig)
         self.latest_certificate: Optional[BatchCertificate] = None
@@ -258,7 +273,7 @@ class Primary:
             if self.proposed_batch is not None:
                 if self.proposed_batch.round >= round_:
                     return False  # still collecting signatures
-                self.worker.reinsert(self.proposed_batch.transmissions)
+                self.reinsert_transmissions(self.proposed_batch.transmissions)
                 self.proposed_batch = None
             # already certified a batch this round (waiting on the BFT to
             # advance): proposing again would be equivocation
@@ -273,7 +288,7 @@ class Primary:
                 if not prev_committee.is_quorum(authors):
                     return False
                 prev_ids = tuple(c.id for c in prev_certs)
-            transmissions = self.worker.drain(MAX_TRANSMISSIONS_PER_BATCH)
+            transmissions = await self._drain_and_revalidate()
             timestamp = int(time.time())
             header = BatchHeader.sign_new(
                 self.account, round_, timestamp, committee.id,
@@ -285,6 +300,84 @@ class Primary:
             log.debug("%s proposed batch r=%d with %d transmissions",
                       self.address[:12], round_, len(transmissions))
             return True
+
+    async def _drain_and_revalidate(self) -> dict:
+        """Drain the workers, RE-validating every transmission against the
+        ledger at proposal time (primary.rs:491-576): transmissions valid
+        at ingest may have been committed or invalidated since."""
+        loop = asyncio.get_event_loop()
+        per_worker = MAX_TRANSMISSIONS_PER_BATCH // len(self.workers)
+        transmissions: dict = {}
+        for worker in self.workers:
+            included = 0
+            while included < per_worker:
+                batch = worker.drain(per_worker - included)
+                if not batch:
+                    break
+                for tid, t in batch.items():
+                    if self.ledger.contains_transmission(tid):
+                        continue  # committed since ingest
+                    if transmissions and self.storage.contains_transmission(tid):
+                        continue  # already in another certified batch
+                    if tid.kind != t.kind:
+                        continue
+                    try:
+                        obj = t.deserialize()
+                    except Exception:
+                        continue
+                    try:
+                        from snarkos_tpu.node import types as _ty
+
+                        if t.kind == _ty.TX_SOLUTION:
+                            await loop.run_in_executor(
+                                None, self.ledger.check_solution_basic, obj)
+                        else:
+                            await loop.run_in_executor(
+                                None, self.ledger.check_transaction_basic, obj)
+                    except Exception as exc:
+                        log.debug("proposing - skipping %s: %s", tid, exc)
+                        continue
+                    transmissions[tid] = t
+                    included += 1
+        return transmissions
+
+    def reinsert_transmissions(self, transmissions: dict) -> None:
+        """Route transmissions back to their assigned workers
+        (partition.rs assign_to_workers)."""
+        n = len(self.workers)
+        for tid, t in transmissions.items():
+            self.workers[assign_to_worker(tid, n)].reinsert({tid: t})
+
+    def worker_for(self, tid: TransmissionID) -> Worker:
+        return self.workers[assign_to_worker(tid, len(self.workers))]
+
+    async def process_unconfirmed_solution(self, sol: Solution) -> None:
+        await self.worker_for(sol.id).process_unconfirmed_solution(sol)
+
+    async def process_unconfirmed_transaction(self, tx: Transaction) -> None:
+        await self.worker_for(tx.id).process_unconfirmed_transaction(tx)
+
+    def process_worker_ping(self, peer_addr, ping: ev.WorkerPing) -> None:
+        """Partition the advertised ids to their assigned workers
+        (gateway.rs WorkerPing dispatch via assign_to_worker)."""
+        if len(self.workers) == 1:
+            self.worker.process_worker_ping(peer_addr, ping)
+            return
+        buckets: dict[int, list] = {}
+        for tid in ping.transmission_ids:
+            buckets.setdefault(assign_to_worker(tid, len(self.workers)), []).append(tid)
+        for wid, tids in buckets.items():
+            self.workers[wid].process_worker_ping(
+                peer_addr, ev.WorkerPing(tuple(tids)))
+
+    def clear_worker_solutions(self) -> None:
+        """Drop queued solutions on epoch rollover
+        (consensus/src/lib.rs:504-509 -> primary.rs clear_worker_solutions)."""
+        from snarkos_tpu.node import types as _ty
+
+        for worker in self.workers:
+            for tid in [t for t in worker.ready if t.kind == _ty.TX_SOLUTION]:
+                worker.ready.pop(tid, None)
 
     # -- peer proposal -> sign (primary.rs:632-800) --------------------------
     async def process_batch_propose(self, peer_addr, propose: ev.BatchPropose) -> None:
@@ -309,11 +402,11 @@ class Primary:
             return
         # fetch anything missing (transmissions; previous certificates)
         await self._sync_with_batch_header(peer_addr, header)
-        available = {
-            tid: self.worker.ready[tid]
-            for tid in header.transmission_ids
-            if tid in self.worker.ready
-        }
+        available = {}
+        for tid in header.transmission_ids:
+            w = self.worker_for(tid)
+            if tid in w.ready:
+                available[tid] = w.ready[tid]
         missing = self.storage.check_batch_header(header, available)
         if missing:
             raise ValueError(f"still missing {len(missing)} transmissions after sync")
@@ -328,10 +421,14 @@ class Primary:
             for cid in header.previous_certificate_ids:
                 if not self.storage.contains_certificate(cid):
                     await self.fetch_certificate(peer_addr, cid)
-        missing = self.storage.store.find_missing_transmissions(header, self.worker.ready)
+        known = {}
+        for w in self.workers:
+            known.update(w.ready)
+        missing = self.storage.store.find_missing_transmissions(header, known)
         for tid in missing:
-            t = await self.worker.fetch_transmission(peer_addr, tid)
-            self.worker.ready.setdefault(tid, t)
+            w = self.worker_for(tid)
+            t = await w.fetch_transmission(peer_addr, tid)
+            w.ready.setdefault(tid, t)
 
     # -- signatures -> certificate (primary.rs:810-906) ----------------------
     async def process_batch_signature(self, peer_addr, sig_event: ev.BatchSignature,
@@ -376,7 +473,7 @@ class Primary:
         missing = self.storage.check_certificate(cert, {})
         transmissions = {}
         for tid in missing:
-            transmissions[tid] = await self.worker.fetch_transmission(peer_addr, tid)
+            transmissions[tid] = await self.worker_for(tid).fetch_transmission(peer_addr, tid)
         self.storage.insert_certificate(cert, transmissions)
         if self.on_certificate is not None:
             await self.on_certificate(cert)
@@ -522,7 +619,7 @@ class Primary:
         while self.running:
             try:
                 await asyncio.sleep(WORKER_PING_S)
-                ids = self.worker.advertised_ids()
+                ids = tuple(t for w in self.workers for t in w.advertised_ids())
                 if ids:
                     self.transport.broadcast(ev.WorkerPing(ids))
             except asyncio.CancelledError:
@@ -535,8 +632,9 @@ class Primary:
             try:
                 await asyncio.sleep(1.0)
                 now = time.time()
-                for tid in [t for t, exp in self.worker.pending_expiry.items() if exp < now]:
-                    self.worker.pending.pop(tid, None)
-                    self.worker.pending_expiry.pop(tid, None)
+                for w in self.workers:
+                    for tid in [t for t, exp in w.pending_expiry.items() if exp < now]:
+                        w.pending.pop(tid, None)
+                        w.pending_expiry.pop(tid, None)
             except asyncio.CancelledError:
                 return

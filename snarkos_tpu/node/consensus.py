@@ -123,19 +123,19 @@ class Consensus:
                 for _ in range(min(len(self.solutions_queue), 8)):
                     _, sol = self.solutions_queue.popitem(last=False)
                     try:
-                        await self.primary.worker.process_unconfirmed_solution(sol)
+                        await self.primary.process_unconfirmed_solution(sol)
                     except Exception as exc:
                         log.debug("solution rejected: %s", exc)
                 if self.deployments_queue:
                     _, tx = self.deployments_queue.popitem(last=False)
                     try:
-                        await self.primary.worker.process_unconfirmed_transaction(tx)
+                        await self.primary.process_unconfirmed_transaction(tx)
                     except Exception as exc:
                         log.debug("deployment rejected: %s", exc)
                 for _ in range(min(len(self.executions_queue), 16)):
                     _, tx = self.executions_queue.popitem(last=False)
                     try:
-                        await self.primary.worker.process_unconfirmed_transaction(tx)
+                        await self.primary.process_unconfirmed_transaction(tx)
                     except Exception as exc:
                         log.debug("execution rejected: %s", exc)
             except asyncio.CancelledError:
@@ -152,10 +152,15 @@ class Consensus:
             )
         except Exception as exc:
             log.warning("block advance failed: %s; reinserting transmissions", exc)
-            self.primary.worker.reinsert(transmissions)
+            self.primary.reinsert_transmissions(transmissions)
             return
         log.info("advanced to block %d (round %d, %d transmissions)",
                  block.height, block.round, len(block.transmissions))
+        # epoch rollover: queued solutions target the OLD epoch hash and can
+        # never verify again — clear them (consensus/src/lib.rs:504-509)
+        if block.height % Block.EPOCH_BLOCKS == 0:
+            self.solutions_queue.clear()
+            self.primary.clear_worker_solutions()
         self._update_block_metrics(block, time.time() - t0)
         if self.on_block is not None:
             await self.on_block(block)
@@ -177,7 +182,7 @@ class Consensus:
         metrics.update_gauge("mempool_solutions", len(self.solutions_queue))
         metrics.update_gauge("mempool_transactions",
                              len(self.executions_queue) + len(self.deployments_queue))
-        metrics.update_gauge("mempool_ready_transmissions", len(self.primary.worker.ready))
+        metrics.update_gauge("mempool_ready_transmissions", sum(len(w.ready) for w in self.primary.workers))
         metrics.observe_histogram("consensus_block_advance_seconds", advance_s)
         metrics.observe_histogram(
             "consensus_commit_latency_seconds", max(0.0, time.time() - block.timestamp)
@@ -205,5 +210,5 @@ class Consensus:
         # discard any stale in-flight proposal from the rounds we skipped
         prop = self.primary.proposed_batch
         if prop is not None and prop.round <= anchor:
-            self.primary.worker.reinsert(prop.transmissions)
+            self.primary.reinsert_transmissions(prop.transmissions)
             self.primary.proposed_batch = None

@@ -85,9 +85,13 @@ class Validator(_BaseNode):
         g.on_batch_certified = p.process_batch_certified
         g.on_certificate_request = p.serve_certificate_request
         g.on_certificate_response = p.process_certificate_response
-        g.on_transmission_request = lambda a, e: p.worker.serve_transmission_request(a, e)
-        g.on_transmission_response = lambda e: p.worker.process_transmission_response(e)
-        g.on_worker_ping = lambda a, e: p.worker.process_worker_ping(a, e)
+        # route transmission events to their assigned worker by sha256d
+        # partition (gateway.rs assign_to_worker; partition.rs:32-67)
+        g.on_transmission_request = lambda a, e: p.worker_for(
+            e.transmission_id).serve_transmission_request(a, e)
+        g.on_transmission_response = lambda e: p.worker_for(
+            e.transmission_id).process_transmission_response(e)
+        g.on_worker_ping = lambda a, e: p.process_worker_ping(a, e)
         g.on_block_request = self._serve_gateway_block_request
         g.on_block_response = self._on_gateway_block_response
         g.on_primary_ping = self._on_primary_ping

@@ -108,7 +108,14 @@ class Router:
         self.peers: dict[tuple, Peer] = {}  # socket addr -> Peer
         self.candidate_peers: set = set()
         self.restricted_peers: dict[tuple, float] = {}
-        self.connection_attempts: dict[str, int] = defaultdict(int)
+        # ip -> recent attempt timestamps, pruned to the radio-silence
+        # window (handshake.rs:304-314 time-bucketed cache: a legitimate
+        # peer reconnecting over a node's lifetime must NOT accumulate
+        # attempts forever)
+        self.connection_attempts: dict[str, list] = defaultdict(list)
+        # network-wide restrictions list commitment, exchanged and verified
+        # in the handshake (handshake.rs:341-354; zero in dev networks)
+        self.restrictions_id: bytes = b"\x00" * 32
         self.cache = RateCache()
         self.sent_cache = RateCache()
         # role hook: returns our latest block height (None -> always synced).
@@ -156,10 +163,16 @@ class Router:
     async def _handshake(self, conn) -> None:
         if conn.side == "responder":
             ip = conn.addr[0]
-            self.connection_attempts[ip] += 1
-            if self.connection_attempts[ip] > MAXIMUM_CONNECTION_FAILURES:
-                self.restricted_peers[conn.addr] = time.time()
-                raise ConnectionError("too many connection attempts; restricted")
+            # time-bucketed attempt counting (loopback exempt, as in the
+            # reference — handshake.rs:305)
+            if ip not in ("127.0.0.1", "::1"):
+                now = time.time()
+                attempts = self.connection_attempts[ip]
+                attempts[:] = [t for t in attempts if now - t < RADIO_SILENCE_S]
+                attempts.append(now)
+                if len(attempts) > MAXIMUM_CONNECTION_FAILURES:
+                    self.restricted_peers[conn.addr] = now
+                    raise ConnectionError("too many connection attempts; restricted")
             if not self.allow_external_peers and conn.addr not in self.trusted_peers:
                 raise ConnectionError("external peers are not allowed")
 
@@ -182,13 +195,13 @@ class Router:
             self._check_challenge_request(peer_req)
             await send(self._challenge_response(peer_req.nonce, my_nonce))
             peer_resp = await recv()
-            self._check_challenge_response(peer_req.address, my_nonce, peer_resp)
+            self._check_challenge_response(peer_req.address, my_nonce, peer_resp, peer_req.node_type)
         else:
             peer_req = await recv()
             self._check_challenge_request(peer_req)
             await send(my_req)
             peer_resp = await recv()
-            self._check_challenge_response(peer_req.address, my_nonce, peer_resp)
+            self._check_challenge_response(peer_req.address, my_nonce, peer_resp, peer_req.node_type)
             await send(self._challenge_response(peer_req.nonce, my_nonce))
 
         listening = (conn.addr[0], peer_req.listener_port)
@@ -202,7 +215,7 @@ class Router:
             self.account.sk, self.account.pk,
             peer_nonce.to_bytes(8, "little") + my_nonce.to_bytes(8, "little"),
         )
-        return msg.ChallengeResponse(self.genesis_hash, b"\x00" * 32, sig, my_nonce)
+        return msg.ChallengeResponse(self.genesis_hash, self.restrictions_id, sig, my_nonce)
 
     def _check_challenge_request(self, req):
         if not isinstance(req, msg.ChallengeRequest):
@@ -210,11 +223,18 @@ class Router:
         if req.version < msg.VERSION:
             raise ConnectionError("outdated protocol version")
 
-    def _check_challenge_response(self, peer_address: str, my_nonce: int, resp):
+    def _check_challenge_response(self, peer_address: str, my_nonce: int, resp,
+                                  peer_node_type: int | None = None):
         if not isinstance(resp, msg.ChallengeResponse):
             raise ConnectionError("expected challenge response")
         if resp.genesis_hash != self.genesis_hash:
             raise ConnectionError("genesis mismatch")
+        # restrictions commitment must match unless either side is a prover
+        # (handshake.rs:341-354)
+        prover_involved = (peer_node_type == msg.NodeType.PROVER
+                           or self.node_type == msg.NodeType.PROVER)
+        if not prover_involved and resp.restrictions_id != self.restrictions_id:
+            raise ConnectionError("restrictions id mismatch")
         pk = address_to_point(peer_address)
         payload = my_nonce.to_bytes(8, "little") + resp.nonce.to_bytes(8, "little")
         if not edwards.verify_bytes(pk, payload, resp.signature):

@@ -129,7 +129,7 @@ class TestNetwork:
             )
             for node in self.nodes.values():
                 try:
-                    await node.primary.worker.process_unconfirmed_solution(sol)
+                    await node.primary.process_unconfirmed_solution(sol)
                 except Exception:
                     pass
 
