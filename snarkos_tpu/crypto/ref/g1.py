@@ -107,10 +107,35 @@ def scalar_mul(k: int, p):
 
 
 def msm(scalars, points):
-    """Naive multi-scalar multiplication: sum_i scalars[i] * points[i]."""
+    """Multi-scalar multiplication: sum_i scalars[i] * points[i].
+
+    Windowed Pippenger (c-bit buckets, suffix-sum bucket reduction) —
+    exact same group result as the naive sum, ~(253/c)(n + 2^c) adds
+    instead of ~253 n."""
+    n = len(scalars)
+    if n == 0:
+        return INFINITY
+    c = max(2, min(13, n.bit_length() + 1))
+    ks = [k % params.FR_MODULUS for k in scalars]
+    num_windows = -(-253 // c)
+    mask = (1 << c) - 1
     acc = INFINITY
-    for k, p in zip(scalars, points):
-        acc = add(acc, scalar_mul(k, p))
+    for w in range(num_windows - 1, -1, -1):
+        for _ in range(c):
+            acc = double(acc)
+        buckets = [INFINITY] * (1 << c)
+        shift = c * w
+        for k, p in zip(ks, points):
+            d = (k >> shift) & mask
+            if d:
+                buckets[d] = add(buckets[d], p)
+        # T = sum_b b * S_b via running suffix sums
+        running = INFINITY
+        total = INFINITY
+        for b in range(len(buckets) - 1, 0, -1):
+            running = add(running, buckets[b])
+            total = add(total, running)
+        acc = add(acc, total)
     return acc
 
 

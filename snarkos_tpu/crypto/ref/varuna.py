@@ -301,10 +301,24 @@ def verify(srs: kzg.SRS, cs: R1CS, public: list[int], proof: VarunaProof,
            pairing_check=None) -> bool:
     """AHP verifier: recompute transcript, check the two polynomial
     identities at beta, batch-verify the single KZG opening (2 pairings)."""
+    opening = verify_prepare(cs, public, proof)
+    if opening is None:
+        return False
+    c_p, beta, y_p, witness = opening
+    check = pairing_check or kzg.verify
+    return check(srs, c_p, beta, y_p, witness)
+
+
+def verify_prepare(cs: R1CS, public: list[int], proof: VarunaProof):
+    """All pairing-free verifier work: transcript recomputation + the
+    rowcheck/lincheck identities at beta. Returns the final (C, z, y, W)
+    KZG opening for (batched) pairing verification, or None if any check
+    fails. Lets the block path batch ALL transmissions' pairings into one
+    multi-pairing (ops/kzg.batch_verify), like the puzzle path."""
     n = cs.n
     l = cs.num_public
     if len(proof.commitments) != 7 or len(proof.evals) != 7:
-        return False
+        return None
     tr = Transcript()
     for c in proof.commitments[:4]:
         tr.absorb_point(c)
@@ -327,11 +341,11 @@ def verify(srs: kzg.SRS, cs: R1CS, public: list[int], proof: VarunaProof,
 
     # rowcheck at beta
     if (y_za * y_zb - y_zc) % R != y_h0 * v_h_beta % R:
-        return False
+        return None
 
     # lincheck at beta. r(alpha,beta) = (v_H(alpha)-v_H(beta))/(alpha-beta)
     if alpha == beta:
-        return False
+        return None
     v_h_alpha = (pow(alpha, n, R) - 1) % R
     r_ab = (v_h_alpha - v_h_beta) * pow(alpha - beta, -1, R) % R
     # r_M(alpha,beta) = sum_{(i,j,v) in M} r(alpha, omega^i) * v * L_j(beta)
@@ -358,9 +372,9 @@ def verify(srs: kzg.SRS, cs: R1CS, public: list[int], proof: VarunaProof,
     lhs = (r_ab * zsum_beta - rm_ab * z_beta) % R
     rhs = (y_h1 * v_h_beta + beta * y_g1) % R
     if lhs != rhs:
-        return False
+        return None
 
-    # batch KZG: C_P = sum xi^i C_i, y_P = sum xi^i y_i, one pairing check
+    # xi-combined opening: C_P = sum xi^i C_i, y_P = sum xi^i y_i
     c_p = g1.INFINITY
     y_p = 0
     coeff = 1
@@ -368,5 +382,4 @@ def verify(srs: kzg.SRS, cs: R1CS, public: list[int], proof: VarunaProof,
         c_p = g1.add(c_p, g1.scalar_mul(coeff, c))
         y_p = (y_p + coeff * y) % R
         coeff = coeff * xi % R
-    check = pairing_check or kzg.verify
-    return check(srs, c_p, beta, y_p, proof.batch_witness)
+    return (c_p, beta, y_p, proof.batch_witness)

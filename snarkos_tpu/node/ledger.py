@@ -320,57 +320,85 @@ class Ledger:
 
 
 # --------------------------------------------------------------------------
-# transaction verification ([HOT]: KZG pairing check on host, TPU for batch)
+# transaction verification ([HOT]: Varuna AHP verify — the reference runs
+# snarkVM Varuna on every gossiped transaction, ledger.rs:318-343)
 # --------------------------------------------------------------------------
+
+_VARUNA_CTX = None
+
+
+def global_varuna():
+    """Process-wide (circuit, key-var, SRS) for the authorization relation.
+    Shares the puzzle SRS so block-level batch verification can combine
+    solution and transaction pairings into ONE multi-pairing."""
+    global _VARUNA_CTX
+    if _VARUNA_CTX is None:
+        from snarkos_tpu.crypto.ref import r1cs as r1cs_mod
+        from snarkos_tpu.ops.puzzle import global_puzzle
+
+        cs, k_var = r1cs_mod.auth_circuit()
+        srs = global_puzzle().srs.srs_ref
+        if len(srs.powers_g1) < cs.n + 1:
+            # small dev puzzle degree: extend with the SAME deterministic
+            # tau (ops/puzzle.PuzzleSRS.dev) so the cross-transmission
+            # pairing batch in check_next_block stays sound
+            tau = pow(params.FR_GENERATOR, 0xDEADBEEF, R)
+            srs = ref_kzg.SRS.setup(cs.n, tau=tau)
+        _VARUNA_CTX = (cs, k_var, srs)
+    return _VARUNA_CTX
+
+
+def transaction_binding(payload: bytes, fee: int) -> int:
+    """The public binding field m for the authorization statement."""
+    h = hashlib.sha256(b"snarkos_tpu.tx.m" + payload + fee.to_bytes(8, "little")).digest()
+    return int.from_bytes(h, "little") % R
 
 
 def transaction_opening(tx: Transaction):
-    """Structural transaction checks (encoding, canonicality, Fiat-Shamir
-    challenge recomputation); returns the (C, z, y, W) opening for
-    (batched) pairing verification, or None if structurally invalid."""
-    from snarkos_tpu.ops.puzzle import _g1_from_bytes
+    """Pairing-free Varuna verification (transcript + rowcheck + lincheck
+    identities); returns the final (C, z, y, W) opening for (batched)
+    pairing verification, or None if any check fails."""
+    from snarkos_tpu.crypto.ref import varuna
 
+    cs, _, _ = global_varuna()
+    if not (0 <= tx.auth_tag < R):
+        return None
     try:
-        c_pt = _g1_from_bytes(tx.commitment)
-        w_pt = _g1_from_bytes(tx.witness)
-    except ValueError:
+        proof = varuna.VarunaProof.deserialize(tx.proof)
+    except Exception:
         return None
-    if not (0 <= tx.eval_y < R and 0 <= tx.challenge < R):
-        return None
-    if tx.challenge != transaction_challenge(tx.payload, tx.commitment):
-        return None
-    return (c_pt, tx.challenge, tx.eval_y, w_pt)
+    m = transaction_binding(tx.payload, tx.fee)
+    return varuna.verify_prepare(cs, [1, m, tx.auth_tag, 0], proof)
 
 
 def verify_transaction(tx: Transaction) -> bool:
-    from snarkos_tpu.ops.puzzle import global_puzzle
-
+    cs, _, srs = global_varuna()
     opening = transaction_opening(tx)
     if opening is None:
         return False
     c_pt, z, y, w_pt = opening
-    return ref_kzg.verify(global_puzzle().srs.srs_ref, c_pt, z, y, w_pt)
+    return ref_kzg.verify(srs, c_pt, z, y, w_pt)
 
 
-def create_transaction(payload: bytes, fee: int = 0, degree: int = 16,
+def create_transaction(payload: bytes, fee: int = 0, key: int | None = None,
                        is_deploy: bool = False) -> Transaction:
-    """Build a valid transaction: commit to a payload-derived polynomial and
-    open it at the Fiat-Shamir challenge (host-side; dev/test path)."""
-    from snarkos_tpu.ops.puzzle import _g1_to_bytes, global_puzzle
+    """Build a valid transaction: prove knowledge of the authorization key
+    k with Poseidon2(k, m) = auth_tag (host prover; the device prover is
+    ops/varuna.py)."""
+    from snarkos_tpu.crypto.ref import r1cs as r1cs_mod
+    from snarkos_tpu.crypto.ref import varuna
 
-    srs = global_puzzle().srs.srs_ref
-    seed = hashlib.sha256(b"tx.poly" + payload).digest()
-    coeffs = [
-        int.from_bytes(hashlib.sha256(seed + i.to_bytes(4, "little")).digest(), "little") % R
-        for i in range(degree)
-    ]
-    c_pt = ref_kzg.commit(srs, coeffs)
-    c_bytes = _g1_to_bytes(c_pt)
-    z = transaction_challenge(payload, c_bytes)
-    y, w_pt = ref_kzg.open_at(srs, coeffs, z)
+    cs, k_var, srs = global_varuna()
+    if key is None:
+        key = int.from_bytes(
+            hashlib.sha256(b"snarkos_tpu.tx.k" + payload).digest(), "little") % R
+    m = transaction_binding(payload, fee)
+    tag = r1cs_mod.auth_statement(key, m)
+    z = r1cs_mod.auth_assignment(cs, k_var, key, m, tag)
+    proof = varuna.prove(srs, cs, z)
     return Transaction(
-        payload=payload, fee=fee, commitment=c_bytes, challenge=z,
-        eval_y=y, witness=_g1_to_bytes(w_pt), is_deploy=is_deploy,
+        payload=payload, fee=fee, auth_tag=tag,
+        proof=proof.serialize(), is_deploy=is_deploy,
     )
 
 

@@ -4,8 +4,8 @@ These are this framework's own wire/storage formats (NOT a byte-level copy
 of snarkVM's): each type mirrors a capability of the reference node —
 BatchHeader/BatchCertificate/Subdag/Block/Committee reached via snarkVM in
 SURVEY.md §1 layer 0, Solution = the TPU puzzle solution (§2.10 puzzle
-rows), Transaction = KZG-opening-carrying payload (stands for the Varuna
-verify hot path until the full Varuna pipeline lands).
+rows), Transaction = payload + Varuna AHP authorization proof (the Varuna
+verify hot path, crypto/ref/varuna.py; §2.10 transaction rows).
 
 All hashes are sha256 over canonical bytes; signatures are Schnorr over
 Edwards-BLS12 (crypto/ref/edwards.py) on the canonical bytes sans the
@@ -113,29 +113,30 @@ class Solution:
 
 @dataclass(frozen=True)
 class Transaction:
-    """Opaque payload + fee + a KZG opening proof (verified on TPU)."""
+    """Opaque payload + fee + a Varuna AHP proof of authorization.
+
+    The proof (crypto/ref/varuna.py) shows knowledge of a key k with
+    Poseidon2(k, m) = auth_tag for the binding field m derived from
+    (payload, fee) — the capability analogue of snarkVM's Varuna-verified
+    execution proof (ledger-service/src/ledger.rs:318-343)."""
 
     payload: bytes
     fee: int  # u64
-    commitment: bytes  # 97 bytes
-    challenge: int  # Fr (opening point)
-    eval_y: int  # Fr
-    witness: bytes  # 97 bytes
+    auth_tag: int  # Fr: public Poseidon authorization tag
+    proof: bytes  # serialized VarunaProof
     is_deploy: bool = False
 
     def to_bytes(self) -> bytes:
         w = Writer()
-        w.bytes_var(self.payload).u64(self.fee).bytes_var(self.commitment)
-        w.field(self.challenge).field(self.eval_y).bytes_var(self.witness)
-        w.bool_(self.is_deploy)
+        w.bytes_var(self.payload).u64(self.fee).field(self.auth_tag)
+        w.bytes_var(self.proof).bool_(self.is_deploy)
         return w.out()
 
     @classmethod
     def from_reader(cls, r: Reader) -> "Transaction":
         return cls(
-            payload=r.bytes_var(), fee=r.u64(), commitment=r.bytes_var(),
-            challenge=r.field(), eval_y=r.field(), witness=r.bytes_var(),
-            is_deploy=r.bool_(),
+            payload=r.bytes_var(), fee=r.u64(), auth_tag=r.field(),
+            proof=r.bytes_var(), is_deploy=r.bool_(),
         )
 
     @property

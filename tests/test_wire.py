@@ -34,8 +34,7 @@ def _rand_solution():
 def _rand_transaction():
     return types.Transaction(
         payload=_rand_bytes(RNG.randrange(0, 64)), fee=RNG.getrandbits(32),
-        commitment=_rand_bytes(97), challenge=RNG.getrandbits(250),
-        eval_y=RNG.getrandbits(250), witness=_rand_bytes(97),
+        auth_tag=RNG.getrandbits(250), proof=_rand_bytes(7 * 97 + 7 * 32 + 97),
         is_deploy=RNG.random() < 0.5,
     )
 
