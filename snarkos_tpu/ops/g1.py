@@ -145,6 +145,71 @@ def add_impl(p: JacobianPoints, q: JacobianPoints) -> JacobianPoints:
     return out
 
 
+def madd_impl(p: JacobianPoints, qx: jax.Array, qy: jax.Array,
+              one: jax.Array | None = None) -> JacobianPoints:
+    """Complete branchless MIXED addition: Jacobian p + affine (qx, qy).
+
+    madd-2007-bl (7M+4S) with the doubling branch computed from the
+    affine operand (p == q as group elements implies the sum is 2*(qx,qy),
+    so the a=0 affine doubling at 1M+5S suffices) — ~17 Fq muls total vs
+    ~23 for the complete Jacobian-Jacobian ``add_impl``. This is the MSM
+    bucket-scan hot combine (ops/msm_pallas.py); the affine operand MUST
+    be a real curve point (never the identity) — bucket inputs are
+    original MSM points, which satisfy this by construction.
+
+    ``one`` optionally supplies a Montgomery-one array of qx's shape so
+    Pallas kernel bodies don't materialize a nontrivial constant.
+    """
+    if one is None:
+        one = fa.broadcast_const(FQ, 1, qx.shape[1:])
+    z1z1 = fa.mont_sqr_impl(FQ, p.z)
+    u2 = fa.mont_mul_impl(FQ, qx, z1z1)
+    s2 = fa.mont_mul_impl(FQ, qy, fa.mont_mul_impl(FQ, p.z, z1z1))
+    h = fa.sub_impl(FQ, u2, p.x)
+    rr = fa.double_impl(FQ, fa.sub_impl(FQ, s2, p.y))
+    hh = fa.mont_sqr_impl(FQ, h)
+    i = fa.mul_small_impl(FQ, hh, 4)
+    j = fa.mont_mul_impl(FQ, h, i)
+    v = fa.mont_mul_impl(FQ, p.x, i)
+    x3 = fa.sub_impl(FQ, fa.sub_impl(FQ, fa.mont_sqr_impl(FQ, rr), j),
+                     fa.double_impl(FQ, v))
+    y3 = fa.sub_impl(FQ, fa.mont_mul_impl(FQ, rr, fa.sub_impl(FQ, v, x3)),
+                     fa.double_impl(FQ, fa.mont_mul_impl(FQ, p.y, j)))
+    z3 = fa.sub_impl(
+        FQ,
+        fa.sub_impl(FQ, fa.mont_sqr_impl(FQ, fa.add_impl(FQ, p.z, h)), z1z1),
+        hh,
+    )
+    generic = JacobianPoints(x=x3, y=y3, z=z3)
+
+    # doubling branch: 2*(qx, qy) from the affine coords (dbl-2009-alnr, a=0)
+    xx = fa.mont_sqr_impl(FQ, qx)
+    em = fa.mul_small_impl(FQ, xx, 3)
+    yy = fa.mont_sqr_impl(FQ, qy)
+    yyyy = fa.mont_sqr_impl(FQ, yy)
+    s = fa.double_impl(
+        FQ,
+        fa.sub_impl(FQ, fa.sub_impl(FQ, fa.mont_sqr_impl(FQ, fa.add_impl(FQ, qx, yy)), xx), yyyy),
+    )
+    dx3 = fa.sub_impl(FQ, fa.mont_sqr_impl(FQ, em), fa.double_impl(FQ, s))
+    dy3 = fa.sub_impl(FQ, fa.mont_mul_impl(FQ, em, fa.sub_impl(FQ, s, dx3)),
+                      fa.mul_small_impl(FQ, yyyy, 8))
+    dz3 = fa.double_impl(FQ, qy)
+    dbl = JacobianPoints(x=dx3, y=dy3, z=dz3)
+
+    p_inf = is_infinity_impl(p)
+    x_eq = fa.eq_impl(FQ, u2, p.x)
+    y_eq = fa.eq_impl(FQ, s2, p.y)
+    is_dbl = jnp.logical_and(~p_inf, jnp.logical_and(x_eq, y_eq))
+    is_neg = jnp.logical_and(~p_inf, jnp.logical_and(x_eq, ~y_eq))
+
+    out = generic
+    out = select_points(is_dbl, dbl, out)
+    out = JacobianPoints(out.x, out.y, jnp.where(is_neg[None], 0, out.z))
+    out = select_points(p_inf, JacobianPoints(qx, qy, one), out)
+    return out
+
+
 def neg_impl(p: JacobianPoints) -> JacobianPoints:
     return JacobianPoints(x=p.x, y=fa.neg_impl(FQ, p.y), z=p.z)
 
@@ -179,6 +244,7 @@ def to_affine_impl(p: JacobianPoints) -> tuple[jax.Array, jax.Array, jax.Array]:
 
 double = jax.jit(double_impl)
 add = jax.jit(add_impl)
+madd = jax.jit(madd_impl)
 neg = jax.jit(neg_impl)
 scalar_mul = functools.partial(jax.jit, static_argnums=(1,))(scalar_mul_impl)
 to_affine = jax.jit(to_affine_impl)

@@ -43,6 +43,8 @@ from typing import Any, Callable
 import jax
 import jax.numpy as jnp
 
+from snarkos_tpu.ops.fieldspec import FQ as fa_FQ
+
 SCALAR_BITS = 253
 
 
@@ -78,11 +80,12 @@ def _default_seg_combine(group: GroupOps):
 # --------------------------------------------------------------------------
 
 
-def window_digits(scalar_limbs: jax.Array, c: int) -> jax.Array:
+def window_digits(scalar_limbs: jax.Array, c: int, num_windows: int | None = None) -> jax.Array:
     """(16, N) canonical Fr limbs -> (W, N) c-bit window digits (LSB window
     first)."""
     nlimbs = scalar_limbs.shape[0]
-    num_windows = -(-SCALAR_BITS // c)
+    if num_windows is None:
+        num_windows = -(-SCALAR_BITS // c)
     rows = []
     mask = (1 << c) - 1
     for w in range(num_windows):
@@ -283,16 +286,8 @@ def _g1_group(use_pallas: bool = True) -> GroupOps:
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
-def msm(points, scalar_limbs: jax.Array, c: int = 0, use_pallas: bool | None = None,
-        chunk_lanes: int = 4096):
-    """MSM over BLS12-377 G1.
-
-    points: JacobianPoints with (L, N) coords (Montgomery); scalar_limbs:
-    (16, N) canonical int32 Fr limbs. Returns a JacobianPoints batch of 1.
-    use_pallas=None resolves at trace time: fused Pallas kernels on TPU,
-    plain XLA elsewhere (interpret-mode Pallas is orders of magnitude
-    slower than compiled XLA on CPU).
-    """
+def _msm_jacobian(points, scalar_limbs: jax.Array, c: int = 0, use_pallas: bool | None = None,
+                  chunk_lanes: int = 4096):
     from snarkos_tpu.ops import g1 as g1ops
 
     if use_pallas is None:
@@ -304,3 +299,197 @@ def msm(points, scalar_limbs: jax.Array, c: int = 0, use_pallas: bool | None = N
     pts = (points.x, points.y, points.z)
     out = msm_generic(group, pts, scalar_limbs, c, chunk_lanes)
     return g1ops.JacobianPoints(*tuple(t[..., :1] for t in out))
+
+
+# --------------------------------------------------------------------------
+# fused signed-window engine (round-2 hot path; see ops/msm_pallas.py)
+# --------------------------------------------------------------------------
+
+
+def signed_window_digits(scalar_limbs: jax.Array, c: int) -> jax.Array:
+    """(16, N) canonical Fr limbs -> (W, N) PACKED signed window digits.
+
+    Each packed value is ``bucket | (sign << 16)`` with bucket in
+    [0, 2^(c-1)] and sign in {0, 1}; the represented digit is
+    (-1)^sign * bucket and Sum_w digit_w * 2^(c w) reconstructs the
+    scalar. Signed digits halve the bucket count of the unsigned engine,
+    so the same bucket-phase cost affords a window ~1 bit wider (fewer
+    windows => fewer scan adds). W = ceil(254/c) so the final borrow
+    carry is always absorbed by the top window (Fr < 2^253).
+    """
+    half = 1 << (c - 1)
+    full = 1 << c
+    num_windows = -(-(SCALAR_BITS + 1) // c)
+    raw = window_digits(scalar_limbs, c, num_windows)  # (W, N) in [0, 2^c)
+
+    def step(carry, d):
+        t = d + carry
+        wrap = t > half
+        bucket = jnp.where(wrap, full - t, t)
+        sign = wrap.astype(jnp.int32)
+        return sign, bucket | (sign << 16)
+
+    carry0 = jnp.zeros(raw.shape[1:], jnp.int32)
+    _, packed = jax.lax.scan(step, carry0, raw)
+    return packed
+
+
+def fused_window_bits(n: int) -> int:
+    """Window size for the signed fused engine: scan work scales with
+    W = ceil(254/c) while the bucket phase scales with 2^(c-1), so larger
+    n affords larger c."""
+    return max(4, min(16, n.bit_length() - 7))
+
+
+def _fused_msm_body(x, ycat, packed_digits, c: int, lanes: int, chunk: int,
+                    use_pallas: bool, group: GroupOps | None = None,
+                    scan_fn=None):
+    """Window loop of the fused engine. x: (L, N) affine x; ycat: (L, 2N)
+    [y | -y]; packed_digits: (W, N). Returns (x, y, z) width-1 tuple.
+
+    group/scan_fn are injectable so the combinatorics (signed digits, sort
+    relayout, cross-lane carries, bucket-tail fixup) are testable with a
+    cheap mock group on CPU (tests/test_msm.py); production uses G1 +
+    the fused Pallas bucket scan."""
+    L, n = x.shape
+    K = lanes
+    m = n // K
+    B = (1 << (c - 1)) + 1
+    if group is None:
+        group = _g1_group(use_pallas)
+    if scan_fn is None:
+        from snarkos_tpu.ops import msm_pallas
+
+        scan_fn = msm_pallas.bucket_scan
+    seg = group.seg_combine or _default_seg_combine(group)
+    bucket_ids = jnp.arange(B, dtype=jnp.int32)
+
+    def plain_add_scan_reverse(vals):
+        rev = tuple(t[..., ::-1] for t in vals)
+        flags = jnp.zeros((1, B), jnp.int32)
+        cur = _hillis_steele_prefix(seg, group, (flags,) + rev, B, len(vals))
+        return tuple(t[..., ::-1] for t in cur[1:])
+
+    def window_body(acc, packed):
+        bucket = packed & 0xFFFF
+        sign = packed >> 16
+        keys, order = jax.lax.sort(
+            (bucket, jnp.arange(n, dtype=jnp.int32)), num_keys=1
+        )
+        # lane-major relayout fused into the gather: position (j, k) of the
+        # (m, K) scan grid holds sorted index k*m + j, so lane k owns the
+        # contiguous sorted run [k*m, (k+1)*m).
+        perm2 = order.reshape(K, m).T.reshape(-1)
+        signs2 = jnp.take(sign, perm2)
+        xs = jnp.take(x, perm2, axis=-1).reshape(L, m, K)
+        ys = jnp.take(ycat, perm2 + signs2 * n, axis=-1).reshape(L, m, K)
+        head = jnp.concatenate(
+            [jnp.ones((1,), jnp.int32), (keys[1:] != keys[:-1]).astype(jnp.int32)]
+        )
+        heads_lane = head.reshape(K, m).T  # (m, K)
+        sx, sy, sz = scan_fn(xs, ys, heads_lane[None], K, chunk)
+
+        # cross-lane carries: inclusive segmented scan of per-lane finals
+        lane_flag = jnp.max(heads_lane, axis=0)[None]  # (1, K)
+        finals = (sx[:, -1, :], sy[:, -1, :], sz[:, -1, :])
+        summ = _hillis_steele_prefix(seg, group, (lane_flag,) + finals, K, 3)
+        ident1 = group.identity(1)
+        carry = tuple(
+            jnp.concatenate([ident1[i], summ[1 + i][..., :-1]], axis=-1)
+            for i in range(3)
+        )  # (L, K): carry INTO lane k
+
+        # bucket sums = scan values at each bucket's last occurrence, plus
+        # the lane carry when the bucket's run extends past a lane start
+        pos = jnp.searchsorted(keys, bucket_ids, side="right").astype(jnp.int32) - 1
+        nonempty = (pos >= 0) & (jnp.take(keys, jnp.maximum(pos, 0)) == bucket_ids)
+        posc = jnp.maximum(pos, 0)
+        lane_of = posc // m
+        flat = (posc % m) * K + lane_of
+        tails = tuple(jnp.take(t.reshape(L, m * K), flat, axis=-1) for t in (sx, sy, sz))
+        cum_heads = jnp.cumsum(heads_lane, axis=0)  # heads seen in-lane so far
+        needs_carry = jnp.take(cum_heads.reshape(-1), flat) == 0
+        carry_at = tuple(jnp.take(t, lane_of, axis=-1) for t in carry)
+        added = group.add(tails, carry_at)
+        sums = group.select(needs_carry, added, tails)
+        sums = group.select(nonempty & (bucket_ids > 0), sums, group.identity(B))
+
+        # T_w = Sum_{b>=1} b * S_b = (suffix of suffix)[1]
+        suffix = plain_add_scan_reverse(sums)
+        suffix2 = plain_add_scan_reverse(suffix)
+        t_w = tuple(t[..., 1:2] for t in suffix2)
+
+        def dbl(_, a):
+            return group.add(a, a)
+
+        acc = jax.lax.fori_loop(0, c, dbl, acc)
+        acc = group.add(acc, t_w)
+        return acc, None
+
+    acc, _ = jax.lax.scan(window_body, group.identity(1), packed_digits[::-1])
+    return acc
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def msm_affine(x: jax.Array, y: jax.Array, scalar_limbs: jax.Array, c: int = 0,
+               lanes: int = 0, chunk: int = 8, use_pallas: bool | None = None):
+    """Fused signed-window MSM over AFFINE points (the hot path).
+
+    x, y: (L, N) affine Montgomery coordinates (points must NOT be the
+    identity; zero scalars are fine and land in the discarded 0 bucket).
+    Inputs are padded internally to a multiple of lanes*chunk by repeating
+    point 0 with scalar 0. Returns a width-1 JacobianPoints.
+    """
+    from snarkos_tpu.ops import g1 as g1ops
+    from snarkos_tpu.ops import modarith as fa
+    from snarkos_tpu.ops import msm_pallas
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    n = scalar_limbs.shape[-1]
+    if c == 0:
+        c = fused_window_bits(n)
+    if lanes == 0:
+        lanes = min(msm_pallas.LANES, max(128, 1 << (n.bit_length() // 2)))
+    tile = lanes * chunk
+    n_pad = -(-n // tile) * tile
+    if n_pad != n:
+        reps = n_pad - n
+        x = jnp.concatenate([x, jnp.broadcast_to(x[:, :1], (x.shape[0], reps))], axis=-1)
+        y = jnp.concatenate([y, jnp.broadcast_to(y[:, :1], (y.shape[0], reps))], axis=-1)
+        scalar_limbs = jnp.concatenate(
+            [scalar_limbs, jnp.zeros((scalar_limbs.shape[0], reps), jnp.int32)], axis=-1
+        )
+    yneg = fa.neg_impl(fa_FQ, y)
+    ycat = jnp.concatenate([y, yneg], axis=-1)
+    packed = signed_window_digits(scalar_limbs, c)
+    out = _fused_msm_body(x, ycat, packed, c, lanes, chunk, use_pallas)
+    return g1ops.JacobianPoints(*tuple(t[..., :1] for t in out))
+
+
+def msm(points, scalar_limbs: jax.Array, c: int = 0, use_pallas: bool | None = None,
+        chunk_lanes: int = 4096, affine: bool | None = None):
+    """MSM over BLS12-377 G1.
+
+    points: JacobianPoints with (L, N) coords (Montgomery); scalar_limbs:
+    (16, N) canonical int32 Fr limbs. Returns a JacobianPoints batch of 1.
+
+    Dispatch: when the points are affine (z == 1 everywhere — original
+    curve points, the common case for puzzle/KZG bases) the fused
+    signed-window engine (msm_affine) runs; otherwise the generic
+    windowed-bucket engine. ``affine`` short-circuits the z check — pass
+    it explicitly when calling under jit (the auto-check needs a
+    concrete z).
+    """
+    from snarkos_tpu.ops import modarith as fa
+
+    if affine is None:
+        if isinstance(points.z, jax.core.Tracer):
+            affine = False  # cannot inspect under trace; caller should say
+        else:
+            one = fa.broadcast_const(fa_FQ, 1, points.z.shape[1:])
+            affine = bool(jnp.all(points.z == one))
+    if affine:
+        return msm_affine(points.x, points.y, scalar_limbs,
+                          use_pallas=use_pallas)
+    return _msm_jacobian(points, scalar_limbs, c, use_pallas, chunk_lanes)

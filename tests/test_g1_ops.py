@@ -63,6 +63,35 @@ class TestG1Ops:
             expect = [ref.scalar_mul(e, p) for p in point_batch]
             assert _affine_all(out) == _affine_all(expect), f"e={e}"
 
+    def test_madd_mixed(self, point_batch):
+        """Complete mixed add (Jacobian + affine) vs the reference, covering
+        generic / doubling / negation / identity-left lanes (the MSM
+        bucket-scan hot combine, ops/msm_pallas.py)."""
+        import jax.numpy as jnp
+
+        from snarkos_tpu.ops import g1 as g1ops
+
+        a = point_batch  # left operands (Jacobian; includes INFINITY lane 0)
+        # right operands MUST be non-identity affine points
+        b = [a[1], a[1], ref.neg(a[2]), a[3], a[4] or ref.GENERATOR,
+             a[5], a[6], a[7]]
+        b = [p if p is not None else ref.GENERATOR for p in b]
+        b[1] = a[1]   # lane 1: P + P (doubling branch)
+        b[2] = ref.neg(a[2])  # lane 2: P + (-P) = infinity
+        # normalize right operands to z == 1 (madd takes AFFINE coords)
+        b = [(ax, ay, 1) for ax, ay in (ref.affine(p) for p in b)]
+        ea = ops.encode_points(a)
+        eb = ops.encode_points(b)
+        from snarkos_tpu.ops.fieldspec import FQ
+        from snarkos_tpu.ops import modarith as fa
+
+        # normalize right operands to affine coords (z==1 by construction)
+        one = fa.broadcast_const(FQ, 1, eb.z.shape[1:])
+        assert bool(jnp.all(eb.z == one)), "test operands must be affine"
+        out = ops.decode_points(g1ops.madd(ea, eb.x, eb.y))
+        expect = [ref.add(p, q) for p, q in zip(a, b)]
+        assert _affine_all(out) == _affine_all(expect)
+
     def test_to_affine(self, point_batch):
         enc = ops.encode_points(point_batch)
         x, y, inf = ops.to_affine(enc)
