@@ -41,6 +41,8 @@ class Consensus:
         self.deployments_queue: OrderedDict = OrderedDict()
         self.executions_queue: OrderedDict = OrderedDict()
         self.on_block = on_block  # async fn(block) — e.g. gossip hooks
+        # near-tip sync buffer (sync/mod.rs latest_block_responses)
+        self.latest_block_responses: dict[int, Block] = {}
         self._running = False
 
     # -- lifecycle -----------------------------------------------------------
@@ -212,3 +214,88 @@ class Consensus:
         if prop is not None and prop.round <= anchor:
             self.primary.reinsert_transmissions(prop.transmissions)
             self.primary.proposed_batch = None
+
+    def is_deep_behind(self, tip_height: int) -> bool:
+        """Deep-behind fast path gate (sync/mod.rs:308-314): if the tip is
+        past what the peers would have garbage-collected, sync the ledger
+        WITHOUT the BFT until back within GC range."""
+        from snarkos_tpu.node.bft.storage import MAX_GC_ROUNDS
+
+        max_gc_height = max(0, tip_height - MAX_GC_ROUNDS // 2)
+        return self.ledger.latest_height() + 1 <= max_gc_height
+
+    def sync_ledger_with_block_without_bft(self, block: Block) -> None:
+        """Deep-behind: advance the ledger only, tracking storage height/
+        round (sync/mod.rs:342-362). Caller runs the bootup replay when
+        crossing back into GC range."""
+        self.ledger.check_next_block(block)
+        self.ledger.advance_to_next_block(block)
+        self.storage.increment_to_next_round(block.round + 1)
+
+    def sync_storage_with_block(self, block: Block) -> None:
+        """Near-tip: buffer the block, replay its certificates, and only
+        advance the ledger once the block's leader certificate reaches the
+        availability threshold among next-round certificates (or a later
+        buffered block's leader links back to it) — sync/mod.rs:364-513."""
+        if block.height <= self.ledger.latest_height() or \
+                block.height in self.latest_block_responses:
+            return
+        if block.subdag is not None:
+            self._replay_block_into_narwhal(block)
+        latest = self.ledger.latest_height()
+        self.latest_block_responses[block.height] = block
+        for h in [h for h in self.latest_block_responses if h <= latest]:
+            del self.latest_block_responses[h]
+
+        # contiguous run from latest+1
+        contiguous = []
+        h = latest + 1
+        while h in self.latest_block_responses:
+            contiguous.append(self.latest_block_responses[h])
+            h += 1
+        for next_block in contiguous:
+            if next_block.subdag is None:
+                continue
+            leader_cert = next_block.subdag.leader_certificate
+            commit_round = leader_cert.round
+            committee = self.ledger.committee_lookback_for(commit_round)
+            certs = self.storage.get_certificates_for_round(commit_round + 1)
+            authors = [c.author for c in certs
+                       if leader_cert.id in c.batch_header.previous_certificate_ids]
+            if not committee.is_availability(authors):
+                log.debug("sync: availability threshold not reached for block %d "
+                          "(round %d); buffering", next_block.height, commit_round)
+                continue
+            # walk back: earlier buffered blocks whose leader links forward
+            blocks_to_add = [next_block]
+            current_cert = leader_cert
+            for height in range(next_block.height - 1,
+                                self.ledger.latest_height(), -1):
+                prev = self.latest_block_responses.get(height)
+                if prev is None or prev.subdag is None:
+                    break
+                prev_cert = prev.subdag.leader_certificate
+                if self._is_linked_in_storage(prev_cert, current_cert):
+                    blocks_to_add.insert(0, prev)
+                    current_cert = prev_cert
+            for b in blocks_to_add:
+                if b.height != self.ledger.latest_height() + 1:
+                    continue
+                self.sync_with_block(b)
+                self.latest_block_responses.pop(b.height, None)
+
+    def _is_linked_in_storage(self, earlier, later) -> bool:
+        """Previous-certificate path check over Narwhal storage
+        (sync/mod.rs is_linked)."""
+        frontier = {later.id: later}
+        for r in range(later.round, earlier.round, -1):
+            nxt = {}
+            for cert in frontier.values():
+                for cid in cert.batch_header.previous_certificate_ids:
+                    prev = self.storage.get_certificate(cid)
+                    if prev is not None and prev.round == r - 1:
+                        nxt[prev.id] = prev
+            frontier = nxt
+            if not frontier:
+                return False
+        return earlier.id in frontier

@@ -105,13 +105,26 @@ class Validator(_BaseNode):
         self.gateway.send(addr, msg.BlockResponse(req, tuple(blocks)))
 
     async def _on_gateway_block_response(self, addr, resp: msg.BlockResponse):
+        """Deep-behind (no-BFT fast path) vs near-tip (subdag-validated)
+        distinction — node/bft/src/sync/mod.rs:299-513."""
+        loop = asyncio.get_event_loop()
+        tip = max(self._gateway_peer_heights.values(), default=0)
+        was_deep = self.consensus.is_deep_behind(tip)
         for block in sorted(resp.blocks, key=lambda b: b.height):
-            if block.height != self.ledger.latest_height + 1:
-                continue
             try:
-                await asyncio.get_event_loop().run_in_executor(
-                    None, self.consensus.sync_with_block, block
-                )
+                if self.consensus.is_deep_behind(tip):
+                    if block.height == self.ledger.latest_height + 1:
+                        await loop.run_in_executor(
+                            None, self.consensus.sync_ledger_with_block_without_bft,
+                            block)
+                else:
+                    if was_deep:
+                        # crossed into GC range: replay the ledger tail into
+                        # Narwhal before validating near-tip blocks
+                        self.consensus.sync_storage_with_ledger_at_bootup()
+                        was_deep = False
+                    await loop.run_in_executor(
+                        None, self.consensus.sync_storage_with_block, block)
             except Exception as exc:
                 log.warning("gateway sync: invalid block %d: %s", block.height, exc)
                 return
