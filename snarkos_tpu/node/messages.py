@@ -93,6 +93,19 @@ class BlockResponse:
             raise ValueError(f"block response carries {n} > {DATA_BLOCKS_MAX} blocks")
         return cls(req, tuple(Block.from_bytes(r.bytes_var()) for _ in range(n)))
 
+    def ensure_well_formed(self) -> None:
+        """DataBlocks::ensure_response_is_well_formed
+        (events/src/block_response.rs:69-91): non-empty, sequentially
+        ordered, and exactly matching the request range."""
+        if not self.blocks:
+            raise ValueError("empty block response")
+        heights = [b.height for b in self.blocks]
+        if any(b + 1 != a for b, a in zip(heights, heights[1:])):
+            raise ValueError("block response not sequentially ordered")
+        if heights[0] != self.request.start_height or \
+                heights[-1] + 1 != self.request.end_height:
+            raise ValueError("block response range does not match the request")
+
 
 @dataclass(frozen=True)
 class ChallengeRequest:

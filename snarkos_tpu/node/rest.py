@@ -23,7 +23,9 @@ from urllib.parse import unquote
 
 from snarkos_tpu.node import messages as msg
 from snarkos_tpu.node.codec import Reader
-from snarkos_tpu.node.types import Block, Solution, Transaction
+from snarkos_tpu.node.types import (
+    Block, Solution, Transaction, TX_TRANSACTION, sha256d,
+)
 
 log = logging.getLogger(__name__)
 
@@ -172,7 +174,13 @@ class Rest:
 
     # -- routing (lib.rs:132-191 equivalents) --------------------------------
     async def _route(self, method: str, path: str, headers: dict, body: bytes):
-        path = path.split("?")[0].rstrip("/")
+        path, _, query_str = path.partition("?")
+        path = path.rstrip("/")
+        query = {}
+        for kv in query_str.split("&"):
+            k, _, v = kv.partition("=")
+            if k:
+                query[k] = v
         parts = [p for p in path.split("/") if p]
         if not parts or parts[0] != self.network:
             return 404, {"error": "unknown network prefix"}
@@ -181,7 +189,7 @@ class Rest:
 
         try:
             if method == "GET":
-                return await self._route_get(parts, headers, ledger)
+                return await self._route_get(parts, headers, ledger, query)
             if method == "POST":
                 return await self._route_post(parts, body, ledger)
         except KeyError as exc:
@@ -190,7 +198,17 @@ class Rest:
             return 400, {"error": str(exc)}
         return 404, {"error": "no such route"}
 
-    async def _route_get(self, parts, headers, ledger):
+    @staticmethod
+    def _block_by_spec(ledger, spec: str):
+        """height-or-hash lookup (lib.rs get_block path param)."""
+        if spec.isdigit():
+            h = int(spec)
+            return ledger.get_block(h) if h <= ledger.latest_height else None
+        height = ledger.block_index.get(bytes.fromhex(spec))
+        return None if height is None else ledger.get_block(height)
+
+    async def _route_get(self, parts, headers, ledger, query=None):
+        query = query or {}
         match parts:
             case ["block", "height", "latest"]:
                 return 200, ledger.latest_height
@@ -198,6 +216,14 @@ class Rest:
                 return 200, ledger.latest_block.hash.hex()
             case ["block", "round", "latest"]:
                 return 200, ledger.latest_round
+            case ["block", "latest"]:
+                return 200, _block_json(ledger.latest_block)
+            case ["block", spec, "transactions"]:
+                block = self._block_by_spec(ledger, spec)
+                if block is None:
+                    return 404, {"error": "unknown block"}
+                return 200, [{"id": t.id.digest.hex(), "kind": t.kind,
+                              "data": t.data.hex()} for t in block.transmissions]
             case ["latest", "stateRoot"] | ["stateRoot", "latest"]:
                 return 200, ledger.latest_block.hash.hex()
             case ["block", spec]:
@@ -208,8 +234,21 @@ class Rest:
                 if height is None:
                     return 404, {"error": "unknown block hash"}
                 return 200, _block_json(ledger.get_block(height))
+            case ["blocks"] if "start" in query and "end" in query:
+                s, e = int(query["start"]), int(query["end"])
+                if e - s > MAX_BLOCK_RANGE:
+                    return 400, {"error": f"range exceeds {MAX_BLOCK_RANGE} blocks"}
+                return 200, [
+                    _block_json(ledger.get_block(h))
+                    for h in range(s, min(e, ledger.latest_height + 1))
+                ]
             case ["blocks"]:
-                return 400, {"error": "use /blocks?start=..&end=.. via /blocks/{start}/{end}"}
+                return 400, {"error": "missing start/end query parameters"}
+            case ["height", hash_hex]:
+                height = ledger.block_index.get(bytes.fromhex(hash_hex))
+                if height is None:
+                    return 404, {"error": "unknown block hash"}
+                return 200, height
             case ["blocks", start, end]:
                 s, e = int(start), int(end)
                 if e - s > MAX_BLOCK_RANGE:
@@ -226,7 +265,25 @@ class Rest:
                             return 200, {"block": block.height, "kind": t.kind,
                                          "data": t.data.hex()}
                 return 404, {"error": "transaction not found"}
+            case ["transaction", "confirmed", tid_hex]:
+                want = bytes.fromhex(tid_hex)
+                for block in reversed(ledger.blocks):
+                    for idx, t in enumerate(block.transmissions):
+                        if t.id.digest == want:
+                            return 200, {"status": "confirmed", "block": block.height,
+                                         "index": idx, "kind": t.kind,
+                                         "data": t.data.hex()}
+                return 404, {"error": "transaction not confirmed"}
             case ["committee", "latest"]:
+                c = ledger.committee
+                return 200, {
+                    "starting_round": c.starting_round,
+                    "members": {a: {"stake": s, "is_open": o} for a, s, o in c.members},
+                }
+            case ["committee", height] if height.isdigit():
+                # static committee in this build: valid for any canon height
+                if int(height) > ledger.latest_height:
+                    return 404, {"error": "height beyond the chain tip"}
                 c = ledger.committee
                 return 200, {
                     "starting_round": c.starting_round,
@@ -252,6 +309,11 @@ class Rest:
                 return 200, ledger.latest_epoch_hash.hex()
             case ["proofTarget", "latest"]:
                 return 200, ledger.latest_proof_target
+            case ["memoryPool", "transmissions"]:
+                c = getattr(self.node, "consensus", None)
+                if c is None:
+                    return 404, {"error": "not a validator"}
+                return 200, [str(tid) for w in c.primary.workers for tid in w.ready]
             case ["memoryPool", "solutions"]:
                 c = getattr(self.node, "consensus", None)
                 if c is None:
@@ -281,6 +343,34 @@ class Rest:
                 if height is None:
                     return 404, {"error": "unknown block hash"}
                 return 200, height
+            case ["find", "transactionID", "deployment", program_id]:
+                # deployment payloads declare "program <id>" (cli deploy)
+                prefix = f"program {program_id}".encode()
+                for block in reversed(ledger.blocks):
+                    for t in block.transmissions:
+                        if t.kind == TX_TRANSACTION:
+                            tx = t.deserialize()
+                            if tx.is_deploy and tx.payload.startswith(prefix):
+                                return 200, t.id.digest.hex()
+                return 404, {"error": "deployment not found"}
+            case ["find", "transactionID", transition_hex]:
+                # a transition in this framework is the payload execution
+                # unit: its id is sha256d of the payload
+                want = bytes.fromhex(transition_hex)
+                for block in reversed(ledger.blocks):
+                    for t in block.transmissions:
+                        if t.kind == TX_TRANSACTION and \
+                                sha256d(t.deserialize().payload) == want:
+                            return 200, t.id.digest.hex()
+                return 404, {"error": "transition not found"}
+            case ["find", "transitionID", tid_hex]:
+                # inverse map: transmission id -> its payload execution id
+                want = bytes.fromhex(tid_hex)
+                for block in reversed(ledger.blocks):
+                    for t in block.transmissions:
+                        if t.kind == TX_TRANSACTION and t.id.digest == want:
+                            return 200, sha256d(t.deserialize().payload).hex()
+                return 404, {"error": "transaction not found"}
             case ["stateRoot", spec] if spec.isdigit():
                 # the chain commitment at a height is that block's hash
                 return 200, ledger.get_block(int(spec)).hash.hex()

@@ -307,6 +307,13 @@ class Client(_BaseNode):
         self.router.send(addr, msg.BlockResponse(req, tuple(blocks)))
 
     async def _on_block_response(self, addr, peer, resp: msg.BlockResponse):
+        try:
+            resp.ensure_well_formed()
+        except ValueError as exc:
+            log.warning("malformed block response from %s: %s", addr, exc)
+            self.block_sync.remove_peer(addr)
+            await self.router.tcp.disconnect(addr)
+            return
         await self.block_sync.insert_block_responses(addr, list(resp.blocks))
 
     async def _serve_puzzle_request(self, addr, peer, req):

@@ -189,3 +189,85 @@ def test_malformed_rejected():
     good = messages.serialize(messages.PeerRequest())
     with pytest.raises(Exception):
         messages.deserialize(good + b"\x00")
+
+
+def test_block_response_well_formedness():
+    """DataBlocks response checks (events/src/block_response.rs:69-91)."""
+    import dataclasses
+
+    b1 = _rand_block()
+    b2 = dataclasses.replace(b1, height=b1.height + 1)
+    b_gap = dataclasses.replace(b1, height=b1.height + 5)
+    # empty
+    with pytest.raises(ValueError):
+        messages.BlockResponse(messages.BlockRequest(0, 1), ()).ensure_well_formed()
+    # non-sequential
+    resp = messages.BlockResponse(
+        messages.BlockRequest(b1.height, b_gap.height + 1), (b1, b_gap))
+    with pytest.raises(ValueError):
+        resp.ensure_well_formed()
+    # range mismatch
+    resp = messages.BlockResponse(messages.BlockRequest(0, 99), (b1,))
+    with pytest.raises(ValueError):
+        resp.ensure_well_formed()
+    # well-formed passes
+    messages.BlockResponse(
+        messages.BlockRequest(b1.height, b2.height + 1), (b1, b2)
+    ).ensure_well_formed()
+
+
+@pytest.mark.parametrize("sample", range(40))
+def test_message_roundtrip_randomized(sample):
+    """Proptest-style: fresh random instances per variant, many samples."""
+    builders = [
+        lambda: messages.Ping(messages.VERSION, RNG.choice([0, 1, 2]), None),
+        lambda: messages.Pong(RNG.random() < 0.5),
+        lambda: messages.BlockRequest(RNG.randrange(1 << 32), RNG.randrange(1 << 32)),
+        lambda: messages.PeerResponse(
+            tuple(("10.0.0.%d" % RNG.randrange(255), RNG.randrange(1 << 16))
+                  for _ in range(RNG.randrange(5)))),
+        lambda: messages.UnconfirmedSolution(_rand_tid(), _rand_bytes(RNG.randrange(200))),
+        lambda: messages.UnconfirmedTransaction(_rand_tid(), _rand_bytes(RNG.randrange(200))),
+        lambda: messages.Disconnect(RNG.randrange(12)),
+        lambda: messages.PuzzleResponse(_rand_bytes(32), RNG.randrange(1 << 32),
+                                        RNG.getrandbits(64)),
+    ]
+    m = RNG.choice(builders)()
+    assert messages.deserialize(messages.serialize(m)) == m
+
+
+@pytest.mark.parametrize("trial", range(60))
+def test_codec_fuzz_no_crash(trial):
+    """Byte-flip fuzzing: a mutated frame must either decode to SOME valid
+    message or raise a clean ValueError/KeyError/struct error — never
+    hang, never raise uncontrolled internals past deserialize()."""
+    rng = random.Random(9000 + trial)
+    base = bytearray(messages.serialize(random.Random(7).choice([
+        messages.Ping(messages.VERSION, 1, None),
+        messages.BlockRequest(3, 8),
+        messages.PeerRequest(),
+        messages.PuzzleRequest(),
+    ])))
+    for _ in range(rng.randrange(1, 4)):
+        base[rng.randrange(len(base))] ^= 1 << rng.randrange(8)
+    try:
+        messages.deserialize(bytes(base))
+    except Exception:
+        pass  # clean rejection is fine; crashes/hangs are not
+
+
+@pytest.mark.parametrize("trial", range(60))
+def test_event_codec_fuzz_no_crash(trial):
+    rng = random.Random(31000 + trial)
+    base = bytearray(events.serialize(random.Random(3).choice([
+        events.BlockRequest(1, 3),
+        events.CertificateRequest(bytes(32)),
+        events.ValidatorsRequest(),
+        events.TransmissionRequest(types.TransmissionID(0, bytes(32))),
+    ])))
+    for _ in range(rng.randrange(1, 4)):
+        base[rng.randrange(len(base))] ^= 1 << rng.randrange(8)
+    try:
+        events.deserialize(bytes(base))
+    except Exception:
+        pass
