@@ -26,8 +26,9 @@ r_M(alpha, beta) directly in O(nnz) host time instead of running the
 third (holographic matrix) sumcheck; commitments are non-hiding (no zk
 blinding); g_1's degree bound (<= n-2) is not enforced with a shifted
 commitment. The prover's hot paths (NTTs, MSM commits, Poseidon
-transcript) are the [HOT] kernels accelerated in ops/ (see
-ops/varuna.py for the device prover).
+transcript) are the [HOT] kernel families of ops/ (ops/ntt.py,
+ops/msm.py, ops/poseidon.py); ``prove(commit_fn=...)`` accepts an
+accelerated MSM for the commitment side.
 """
 
 from __future__ import annotations

@@ -496,12 +496,18 @@ class TranslucentLedgerService(CoreLedgerService):
 
 
 class MockLedgerService(LedgerService):
-    """Fixed committee, no verification (ledger-service/src/mock.rs:34-51)."""
+    """Fixed committee, no verification (ledger-service/src/mock.rs:34-51).
+
+    Unlike the reference mock, committed transmission ids ARE tracked —
+    the commit path's cross-block dedup (consensus _commit_anchor checks
+    ledger.contains_transmission) is a safety invariant the tests assert,
+    and a mock that always answers False silently disables it."""
 
     def __init__(self, committee: Committee):
         self.committee = committee
         self._height = 0
         self._blocks = [genesis_block(committee)]
+        self._committed_tids: set = set()
 
     def latest_round(self): return self._blocks[-1].round
     def latest_height(self): return self._blocks[-1].height
@@ -510,7 +516,7 @@ class MockLedgerService(LedgerService):
     def current_committee(self): return self.committee
     def committee_lookback_for(self, round_): return self.committee
     def contains_certificate(self, cid): return False
-    def contains_transmission(self, tid): return False
+    def contains_transmission(self, tid): return tid in self._committed_tids
     def check_solution_basic(self, sol): pass
     def check_transaction_basic(self, tx): pass
     def check_next_block(self, block): pass
@@ -526,6 +532,8 @@ class MockLedgerService(LedgerService):
 
     def advance_to_next_block(self, block):
         self._blocks.append(block)
+        for t in block.transmissions:
+            self._committed_tids.add(t.id)
 
 
 class ProverLedgerService(LedgerService):
