@@ -73,35 +73,93 @@ def bench_ntt(jax, log_n: int = 18):
     return n / dt, "elems/s", n
 
 
-def bench_msm(jax, log_n: int = 16, c: int = 12):
+def _bench_points(log_n: int):
+    """(x, y) limb arrays of 2^log_n DISTINCT affine points (i+1)*G,
+    generated once on host (incremental chord additions + one Montgomery
+    batch inversion per chunk) and .cache'd to disk. Distinctness matters:
+    duplicated points constantly trigger the incomplete-add fallback,
+    which production inputs (SRS powers) never do."""
+    from snarkos_tpu.crypto import params
+    from snarkos_tpu.crypto.ref import g1 as ref
+    from snarkos_tpu.ops.fieldspec import FQ
+
+    n = 1 << log_n
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, f"bench_pts_{log_n}.npz")
+    if os.path.exists(path):
+        data = np.load(path)
+        return data["x"], data["y"]
+    q = params.FQ_MODULUS
+    xs_out = np.empty((FQ.nlimbs, n), np.int32)
+    ys_out = np.empty((FQ.nlimbs, n), np.int32)
+    acc = ref.GENERATOR
+    chunk = 1 << 18
+    done = 0
+    while done < n:
+        take = min(chunk, n - done)
+        jac = []
+        for _ in range(take):
+            jac.append(acc)
+            acc = ref.add(acc, ref.GENERATOR)
+        # batch-normalize the chunk: one inversion for all z
+        zs = [p[2] for p in jac]
+        prefix = [1] * (take + 1)
+        for i, z in enumerate(zs):
+            prefix[i + 1] = prefix[i] * z % q
+        inv = pow(prefix[-1], -1, q)
+        ax, ay = [0] * take, [0] * take
+        for i in range(take - 1, -1, -1):
+            zi = prefix[i] * inv % q
+            inv = inv * zs[i] % q
+            zi2 = zi * zi % q
+            ax[i] = jac[i][0] * zi2 % q
+            ay[i] = jac[i][1] * zi2 % q * zi % q
+        xs_out[:, done:done + take] = np.asarray(FQ.encode_fast(ax, mont=True))
+        ys_out[:, done:done + take] = np.asarray(FQ.encode_fast(ay, mont=True))
+        done += take
+    np.savez(path, x=xs_out, y=ys_out)
+    return xs_out, ys_out
+
+
+def bench_msm(jax, log_n: int = 20, c: int = 0):
+    """Fused signed-window MSM over distinct affine points (the
+    production path, incomplete-add fast kernel)."""
     import jax.numpy as jnp
 
-    from snarkos_tpu.crypto.ref import g1 as ref
-    from snarkos_tpu.ops import g1 as g1ops
     from snarkos_tpu.ops import msm as msm_mod
     from snarkos_tpu.ops.fieldspec import FR
 
     n = 1 << log_n
     rng = np.random.default_rng(0)
-    # distinct points: k*G for k in a small cycle (cheap to build on host)
-    base = []
-    acc = ref.GENERATOR
-    for _ in range(256):
-        base.append(acc)
-        acc = ref.add(acc, ref.GENERATOR)
-    pts = [base[i % 256] for i in range(n)]
-    points = g1ops.encode_points(pts)
-    scalars = jnp.array(FR.random(n, rng))  # uniform; canonical-limb domain
+    bx, by = _bench_points(log_n)
+    x = jnp.asarray(bx)
+    y = jnp.asarray(by)
+    scalars = jnp.asarray(FR.random(n, rng))
 
-    out = msm_mod.msm(points, scalars, c)
+    out = msm_mod.msm_affine(x, y, scalars, c=c, lanes=1024)
     np.asarray(out.x)
-    iters = 3
+    iters = 3 if log_n <= 20 else 2
     t0 = time.time()
     for _ in range(iters):
-        out = msm_mod.msm(points, scalars, c)
+        out = msm_mod.msm_affine(x, y, scalars, c=c, lanes=1024)
         np.asarray(out.x[:, :1])  # completion fence
     dt = (time.time() - t0) / iters
     return n / dt, "points/s", n
+
+
+def bench_prover(jax, batch: int = 8):
+    """Prover solutions/s at nonce batch B (VERDICT item 8 extras)."""
+    from snarkos_tpu.ops.puzzle import global_puzzle
+
+    pz = global_puzzle()
+    nonces = list(range(1, batch + 1))
+    pz.prove_batch(b"\x01" * 32, "aleo1benchprover", nonces[:1], None)  # warm
+    t0 = time.time()
+    sols = pz.prove_batch(b"\x01" * 32, "aleo1benchprover", nonces, None)
+    dt = time.time() - t0
+    assert len(sols) == batch
+    return batch / dt
 
 
 def _python_ref_msm_rate() -> float:
@@ -124,8 +182,8 @@ def _python_ref_msm_rate() -> float:
 def main():
     jax = _setup_jax()
     phase = os.environ.get("SNARKOS_TPU_BENCH_PHASE", "msm")
-    log_n = int(os.environ.get("SNARKOS_TPU_BENCH_LOG_N", "16"))
-    window = int(os.environ.get("SNARKOS_TPU_BENCH_WINDOW", "12"))
+    log_n = int(os.environ.get("SNARKOS_TPU_BENCH_LOG_N", "20"))
+    window = int(os.environ.get("SNARKOS_TPU_BENCH_WINDOW", "0"))
 
     extras = {}
     try:
@@ -139,6 +197,11 @@ def main():
         extras["ntt_size"] = ntt_n
     except Exception as exc:  # pragma: no cover
         extras["ntt_error"] = str(exc)[:200]
+    if os.environ.get("SNARKOS_TPU_BENCH_PROVER", "1") == "1":
+        try:
+            extras["prover_solutions_per_s_b8"] = round(bench_prover(jax, 8), 3)
+        except Exception as exc:  # pragma: no cover
+            extras["prover_error"] = str(exc)[:200]
 
     metric, value, unit = None, None, None
     if phase == "msm":

@@ -1,0 +1,400 @@
+// BLS12-377 G1 host engine: Montgomery Fq (6x64 CIOS), Jacobian group law,
+// windowed Pippenger MSM.
+//
+// The reference node's host-side curve arithmetic is native Rust (snarkVM's
+// arkworks-derived backend, reached from e.g. node/src/prover/mod.rs:254-258
+// and ledger-service verification). This is the new framework's native
+// equivalent for the HOST side of the pipeline: proof-system commitments,
+// batch-verification point folding, and the bench baseline. The TPU side
+// (ops/msm.py) remains the large-N throughput path; this engine covers the
+// latency path (many small MSMs: Varuna commitments at n<=512, witness
+// folds) where dispatch+compile overheads dominate on the device.
+//
+// Exposed C ABI (ctypes, snarkos_tpu/utils/native.py):
+//   g1_msm(scalars_le[32*n], points_xy_le[96*n], n, out[144])
+//   g1_scalar_mul(scalar_le[32], point_xy_le[96], out[144])
+//   - scalars: canonical little-endian 32-byte Fr
+//   - points: affine x||y, canonical little-endian 48+48 bytes
+//   - out: Jacobian X||Y||Z canonical little-endian 48*3 bytes
+// Returns 0 on success.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+typedef unsigned __int128 u128;
+typedef uint64_t u64;
+
+static const u64 Q[6] = {0x8508c00000000001ULL, 0x170b5d4430000000ULL,
+                         0x1ef3622fba094800ULL, 0x1a22d9f300f5138fULL,
+                         0xc63b05c06ca1493bULL, 0x01ae3a4617c510eaULL};
+static const u64 R2[6] = {0xb786686c9400cd22ULL, 0x0329fcaab00431b1ULL,
+                          0x22a5f11162d6b46dULL, 0xbfdf7d03827dc3acULL,
+                          0x837e92f041790bf9ULL, 0x006dfccb1e914b88ULL};
+static const u64 N0INV = 0x8508bfffffffffffULL;
+static const u64 ONE_MONT[6] = {0x02cdffffffffff68ULL, 0x51409f837fffffb1ULL,
+                                0x9f7db3a98a7d3ff2ULL, 0x7b4e97b76e7c6305ULL,
+                                0x4cf495bf803c84e8ULL, 0x008d6661e2fdf49aULL};
+
+struct Fq {
+  u64 v[6];
+};
+
+static inline bool fq_is_zero(const Fq &a) {
+  u64 acc = 0;
+  for (int i = 0; i < 6; i++) acc |= a.v[i];
+  return acc == 0;
+}
+
+static inline bool fq_eq(const Fq &a, const Fq &b) {
+  u64 acc = 0;
+  for (int i = 0; i < 6; i++) acc |= a.v[i] ^ b.v[i];
+  return acc == 0;
+}
+
+static inline bool geq_q(const u64 *a) {
+  for (int i = 5; i >= 0; i--) {
+    if (a[i] > Q[i]) return true;
+    if (a[i] < Q[i]) return false;
+  }
+  return true;  // equal
+}
+
+static inline void sub_q(u64 *a) {
+  u128 borrow = 0;
+  for (int i = 0; i < 6; i++) {
+    u128 d = (u128)a[i] - Q[i] - borrow;
+    a[i] = (u64)d;
+    borrow = (d >> 64) & 1;
+  }
+}
+
+static inline void fq_add(Fq &out, const Fq &a, const Fq &b) {
+  u128 carry = 0;
+  for (int i = 0; i < 6; i++) {
+    u128 s = (u128)a.v[i] + b.v[i] + carry;
+    out.v[i] = (u64)s;
+    carry = s >> 64;
+  }
+  if (carry || geq_q(out.v)) sub_q(out.v);
+}
+
+static inline void fq_sub(Fq &out, const Fq &a, const Fq &b) {
+  u128 borrow = 0;
+  u64 t[6];
+  for (int i = 0; i < 6; i++) {
+    u128 d = (u128)a.v[i] - b.v[i] - borrow;
+    t[i] = (u64)d;
+    borrow = (d >> 64) & 1;
+  }
+  if (borrow) {
+    u128 carry = 0;
+    for (int i = 0; i < 6; i++) {
+      u128 s = (u128)t[i] + Q[i] + carry;
+      t[i] = (u64)s;
+      carry = s >> 64;
+    }
+  }
+  std::memcpy(out.v, t, sizeof t);
+}
+
+static inline void fq_dbl(Fq &out, const Fq &a) { fq_add(out, a, a); }
+
+// CIOS Montgomery multiply: out = a * b * R^-1 mod q
+static void fq_mul(Fq &out, const Fq &a, const Fq &b) {
+  u64 t[8] = {0};
+  for (int i = 0; i < 6; i++) {
+    u128 carry = 0;
+    u64 ai = a.v[i];
+    for (int j = 0; j < 6; j++) {
+      u128 s = (u128)ai * b.v[j] + t[j] + carry;
+      t[j] = (u64)s;
+      carry = s >> 64;
+    }
+    u128 s = (u128)t[6] + carry;
+    t[6] = (u64)s;
+    t[7] = (u64)(s >> 64);
+
+    u64 m = t[0] * N0INV;
+    carry = 0;
+    u128 s0 = (u128)m * Q[0] + t[0];
+    carry = s0 >> 64;
+    for (int j = 1; j < 6; j++) {
+      u128 sj = (u128)m * Q[j] + t[j] + carry;
+      t[j - 1] = (u64)sj;
+      carry = sj >> 64;
+    }
+    s0 = (u128)t[6] + carry;
+    t[5] = (u64)s0;
+    carry = s0 >> 64;
+    t[6] = t[7] + (u64)carry;
+    t[7] = 0;
+  }
+  std::memcpy(out.v, t, 6 * sizeof(u64));
+  if (t[6] || geq_q(out.v)) sub_q(out.v);
+}
+
+static inline void fq_sqr(Fq &out, const Fq &a) { fq_mul(out, a, a); }
+
+static void fq_from_canonical(Fq &out, const u64 *canon) {
+  Fq tmp, r2;
+  std::memcpy(tmp.v, canon, 6 * sizeof(u64));
+  std::memcpy(r2.v, R2, 6 * sizeof(u64));
+  fq_mul(out, tmp, r2);
+}
+
+static void fq_to_canonical(u64 *out, const Fq &a) {
+  // multiply by 1 (non-Montgomery) = Montgomery reduce
+  Fq one_raw, res;
+  std::memset(one_raw.v, 0, sizeof one_raw.v);
+  one_raw.v[0] = 1;
+  fq_mul(res, a, one_raw);
+  std::memcpy(out, res.v, 6 * sizeof(u64));
+}
+
+struct G1 {
+  Fq x, y, z;  // Jacobian, Montgomery coords; z == 0 -> infinity
+};
+
+static void g1_set_infinity(G1 &p) {
+  std::memset(&p, 0, sizeof p);
+  std::memcpy(p.x.v, ONE_MONT, sizeof p.x.v);
+  std::memcpy(p.y.v, ONE_MONT, sizeof p.y.v);
+}
+
+static inline bool g1_is_infinity(const G1 &p) { return fq_is_zero(p.z); }
+
+// dbl-2009-alnr (a = 0)
+static void g1_double(G1 &out, const G1 &p) {
+  if (g1_is_infinity(p)) {
+    out = p;
+    return;
+  }
+  Fq xx, yy, yyyy, zz, s, m, t0, t1;
+  fq_sqr(xx, p.x);
+  fq_sqr(yy, p.y);
+  fq_sqr(yyyy, yy);
+  fq_sqr(zz, p.z);
+  fq_add(t0, p.x, yy);
+  fq_sqr(t0, t0);
+  fq_sub(t0, t0, xx);
+  fq_sub(t0, t0, yyyy);
+  fq_dbl(s, t0);
+  fq_dbl(m, xx);
+  fq_add(m, m, xx);
+  Fq x3, y3, z3;
+  fq_sqr(x3, m);
+  fq_dbl(t0, s);
+  fq_sub(x3, x3, t0);
+  fq_sub(t0, s, x3);
+  fq_mul(t0, m, t0);
+  fq_dbl(t1, yyyy);
+  fq_dbl(t1, t1);
+  fq_dbl(t1, t1);
+  fq_sub(y3, t0, t1);
+  fq_add(z3, p.y, p.z);
+  fq_sqr(z3, z3);
+  fq_sub(z3, z3, yy);
+  fq_sub(z3, z3, zz);
+  out.x = x3;
+  out.y = y3;
+  out.z = z3;
+}
+
+// add-2007-bl with complete-case handling
+static void g1_add(G1 &out, const G1 &p, const G1 &q) {
+  if (g1_is_infinity(p)) {
+    out = q;
+    return;
+  }
+  if (g1_is_infinity(q)) {
+    out = p;
+    return;
+  }
+  Fq z1z1, z2z2, u1, u2, s1, s2, t;
+  fq_sqr(z1z1, p.z);
+  fq_sqr(z2z2, q.z);
+  fq_mul(u1, p.x, z2z2);
+  fq_mul(u2, q.x, z1z1);
+  fq_mul(t, q.z, z2z2);
+  fq_mul(s1, p.y, t);
+  fq_mul(t, p.z, z1z1);
+  fq_mul(s2, q.y, t);
+  if (fq_eq(u1, u2)) {
+    if (fq_eq(s1, s2)) {
+      g1_double(out, p);
+    } else {
+      g1_set_infinity(out);
+    }
+    return;
+  }
+  Fq h, i, j, r, v;
+  fq_sub(h, u2, u1);
+  fq_dbl(i, h);
+  fq_sqr(i, i);
+  fq_mul(j, h, i);
+  fq_sub(r, s2, s1);
+  fq_dbl(r, r);
+  fq_mul(v, u1, i);
+  Fq x3, y3, z3;
+  fq_sqr(x3, r);
+  fq_sub(x3, x3, j);
+  fq_sub(x3, x3, v);
+  fq_sub(x3, x3, v);
+  fq_sub(t, v, x3);
+  fq_mul(t, r, t);
+  fq_mul(y3, s1, j);
+  fq_dbl(y3, y3);
+  fq_sub(y3, t, y3);
+  fq_add(z3, p.z, q.z);
+  fq_sqr(z3, z3);
+  fq_sub(z3, z3, z1z1);
+  fq_sub(z3, z3, z2z2);
+  fq_mul(z3, z3, h);
+  out.x = x3;
+  out.y = y3;
+  out.z = z3;
+}
+
+// mixed add: q affine (z == 1 Montgomery)
+static void g1_madd(G1 &out, const G1 &p, const Fq &qx, const Fq &qy) {
+  if (g1_is_infinity(p)) {
+    out.x = qx;
+    out.y = qy;
+    std::memcpy(out.z.v, ONE_MONT, sizeof out.z.v);
+    return;
+  }
+  Fq z1z1, u2, s2, t;
+  fq_sqr(z1z1, p.z);
+  fq_mul(u2, qx, z1z1);
+  fq_mul(t, p.z, z1z1);
+  fq_mul(s2, qy, t);
+  if (fq_eq(u2, p.x)) {
+    if (fq_eq(s2, p.y)) {
+      g1_double(out, p);
+    } else {
+      g1_set_infinity(out);
+    }
+    return;
+  }
+  Fq h, hh, i, j, r, v;
+  fq_sub(h, u2, p.x);
+  fq_sqr(hh, h);
+  fq_dbl(i, hh);
+  fq_dbl(i, i);
+  fq_mul(j, h, i);
+  fq_sub(r, s2, p.y);
+  fq_dbl(r, r);
+  fq_mul(v, p.x, i);
+  Fq x3, y3, z3;
+  fq_sqr(x3, r);
+  fq_sub(x3, x3, j);
+  fq_sub(x3, x3, v);
+  fq_sub(x3, x3, v);
+  fq_sub(t, v, x3);
+  fq_mul(t, r, t);
+  fq_mul(y3, p.y, j);
+  fq_dbl(y3, y3);
+  fq_sub(y3, t, y3);
+  fq_add(z3, p.z, h);
+  fq_sqr(z3, z3);
+  fq_sub(z3, z3, z1z1);
+  fq_sub(z3, z3, hh);
+  out.x = x3;
+  out.y = y3;
+  out.z = z3;
+}
+
+static void load_scalar(u64 *out, const uint8_t *le32) {
+  for (int i = 0; i < 4; i++) {
+    u64 v = 0;
+    for (int b = 7; b >= 0; b--) v = (v << 8) | le32[i * 8 + b];
+    out[i] = v;
+  }
+}
+
+static void load_affine(Fq &x, Fq &y, const uint8_t *xy96) {
+  u64 canon[6];
+  for (int i = 0; i < 6; i++) {
+    u64 v = 0;
+    for (int b = 7; b >= 0; b--) v = (v << 8) | xy96[i * 8 + b];
+    canon[i] = v;
+  }
+  fq_from_canonical(x, canon);
+  for (int i = 0; i < 6; i++) {
+    u64 v = 0;
+    for (int b = 7; b >= 0; b--) v = (v << 8) | xy96[48 + i * 8 + b];
+    canon[i] = v;
+  }
+  fq_from_canonical(y, canon);
+}
+
+static void store_jacobian(uint8_t *out144, const G1 &p) {
+  const Fq *coords[3] = {&p.x, &p.y, &p.z};
+  for (int c = 0; c < 3; c++) {
+    u64 canon[6];
+    fq_to_canonical(canon, *coords[c]);
+    for (int i = 0; i < 6; i++)
+      for (int b = 0; b < 8; b++)
+        out144[c * 48 + i * 8 + b] = (uint8_t)(canon[i] >> (8 * b));
+  }
+}
+
+extern "C" {
+
+// Pippenger MSM over affine points.
+int g1_msm(const uint8_t *scalars_le, const uint8_t *points_xy_le, long n,
+           uint8_t *out144) {
+  if (n <= 0) {
+    G1 inf;
+    g1_set_infinity(inf);
+    store_jacobian(out144, inf);
+    return 0;
+  }
+  std::vector<Fq> px(n), py(n);
+  std::vector<u64> ks(n * 4);
+  for (long i = 0; i < n; i++) {
+    load_affine(px[i], py[i], points_xy_le + 96 * i);
+    load_scalar(&ks[i * 4], scalars_le + 32 * i);
+  }
+  int c = 4;
+  long m = n;
+  while (m > 32 && c < 13) {
+    m >>= 1;
+    c++;
+  }
+  int num_windows = (253 + c - 1) / c;
+  u64 mask = (1ULL << c) - 1;
+  std::vector<G1> buckets((size_t)1 << c);
+  G1 acc;
+  g1_set_infinity(acc);
+  for (int w = num_windows - 1; w >= 0; w--) {
+    for (int d = 0; d < c; d++) g1_double(acc, acc);
+    for (auto &b : buckets) g1_set_infinity(b);
+    int off = w * c;
+    for (long i = 0; i < n; i++) {
+      int limb = off >> 6, sh = off & 63;
+      u64 d = ks[i * 4 + limb] >> sh;
+      if (sh + c > 64 && limb < 3) d |= ks[i * 4 + limb + 1] << (64 - sh);
+      d &= mask;
+      if (d) g1_madd(buckets[d], buckets[d], px[i], py[i]);
+    }
+    G1 running, total;
+    g1_set_infinity(running);
+    g1_set_infinity(total);
+    for (long b = (long)buckets.size() - 1; b >= 1; b--) {
+      g1_add(running, running, buckets[b]);
+      g1_add(total, total, running);
+    }
+    g1_add(acc, acc, total);
+  }
+  store_jacobian(out144, acc);
+  return 0;
+}
+
+int g1_scalar_mul(const uint8_t *scalar_le, const uint8_t *point_xy_le,
+                  uint8_t *out144) {
+  return g1_msm(scalar_le, point_xy_le, 1, out144);
+}
+
+}  // extern "C"

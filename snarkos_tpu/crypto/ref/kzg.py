@@ -43,8 +43,29 @@ class SRS:
         return cls(powers_g1=powers, h=h, tau_h=tau_h)
 
 
+_SRS_AFFINE_CACHE: dict = {}
+
+
+def _srs_affine(srs: SRS):
+    """Affine powers for the native engine, cached per SRS identity."""
+    key = id(srs)
+    cached = _SRS_AFFINE_CACHE.get(key)
+    if cached is None or len(cached) < len(srs.powers_g1):
+        cached = [g1.affine(p) for p in srs.powers_g1]
+        _SRS_AFFINE_CACHE.clear()  # one SRS per process in practice
+        _SRS_AFFINE_CACHE[key] = cached
+    return cached
+
+
 def commit(srs: SRS, coeffs: list[int]):
     assert len(coeffs) <= len(srs.powers_g1)
+    from snarkos_tpu.utils import native
+
+    if native.have_g1():
+        out = native.g1_msm([c % R for c in coeffs],
+                            _srs_affine(srs)[: len(coeffs)])
+        if out is not None:
+            return out
     return g1.msm(coeffs, srs.powers_g1[: len(coeffs)])
 
 

@@ -376,11 +376,25 @@ def verify_prepare(cs: R1CS, public: list[int], proof: VarunaProof):
         return None
 
     # xi-combined opening: C_P = sum xi^i C_i, y_P = sum xi^i y_i
-    c_p = g1.INFINITY
+    from snarkos_tpu.utils import native
+
+    coeffs = []
     y_p = 0
     coeff = 1
-    for c, y in zip(proof.commitments, proof.evals):
-        c_p = g1.add(c_p, g1.scalar_mul(coeff, c))
+    for y in proof.evals:
+        coeffs.append(coeff)
         y_p = (y_p + coeff * y) % R
         coeff = coeff * xi % R
+    c_p = None
+    if native.have_g1():
+        pairs = [(k, g1.affine(c)) for k, c in zip(coeffs, proof.commitments)]
+        pairs = [(k, a) for k, a in pairs if a is not None]  # identity adds 0
+        if pairs:
+            c_p = native.g1_msm([k for k, _ in pairs], [a for _, a in pairs])
+        else:
+            c_p = g1.INFINITY
+    if c_p is None:
+        c_p = g1.INFINITY
+        for k, c in zip(coeffs, proof.commitments):
+            c_p = g1.add(c_p, g1.scalar_mul(k, c))
     return (c_p, beta, y_p, proof.batch_witness)

@@ -374,8 +374,9 @@ class Prover(_BaseNode):
     def __init__(self, account, genesis_hash: bytes, *,
                  node_ip: str = "127.0.0.1", node_port: int = 0,
                  trusted_peers: tuple = (), log_degree: Optional[int] = None,
-                 max_iterations: Optional[int] = None):
+                 max_iterations: Optional[int] = None, nonce_batch: int = 8):
         self.account = account
+        self.nonce_batch = max(1, nonce_batch)
         self.ledger_service = ProverLedgerService()
         self.router = Router(
             account, msg.NodeType.PROVER, genesis_hash,
@@ -415,10 +416,14 @@ class Prover(_BaseNode):
                 return
 
     async def _puzzle_loop(self):
+        """Batched multi-nonce proving: B nonces per device dispatch (the
+        TPU analogue of the reference's clamp(cores-2, 1, 6) parallel CPU
+        instances, node/src/prover/mod.rs:122-148)."""
         from snarkos_tpu.ops.puzzle import global_puzzle
 
         puzzle = global_puzzle(self.log_degree)
         nonce = int.from_bytes(os.urandom(8), "little")
+        batch = self.nonce_batch
         while True:
             try:
                 if self.latest_epoch_hash is None:
@@ -428,30 +433,40 @@ class Prover(_BaseNode):
                     return
                 epoch_hash = self.latest_epoch_hash
                 target = self.latest_proof_target
-                nonce = (nonce + 1) & ((1 << 64) - 1)
-                self.iterations += 1
-                sol_data = await asyncio.get_event_loop().run_in_executor(
-                    None, puzzle.prove, epoch_hash, self.account.address, nonce, target
+                nonces = [(nonce + 1 + i) & ((1 << 64) - 1) for i in range(batch)]
+                nonce = nonces[-1]
+                self.iterations += len(nonces)
+                # keep (nonce -> solution) so the Solution carries ITS nonce
+                found = await asyncio.get_event_loop().run_in_executor(
+                    None, self._prove_batch_indexed, puzzle, epoch_hash,
+                    nonces, target,
                 )
-                if sol_data is None:
-                    await asyncio.sleep(0)
-                    continue
-                self.solutions_found += 1
-                sol = Solution(
-                    epoch_hash=epoch_hash, address=self.account.address,
-                    nonce=nonce, commitment=sol_data.commitment,
-                    eval_y=sol_data.eval_y, witness=sol_data.witness,
-                )
-                self.router.propagate(
-                    msg.UnconfirmedSolution(sol.id, sol.to_bytes()), exclude=set()
-                )
-                log.info("prover: found solution id=%x (target %d)",
-                         sol_data.solution_id, target)
+                for n, sol_data in found:
+                    self.solutions_found += 1
+                    sol = Solution(
+                        epoch_hash=epoch_hash, address=self.account.address,
+                        nonce=n, commitment=sol_data.commitment,
+                        eval_y=sol_data.eval_y, witness=sol_data.witness,
+                    )
+                    self.router.propagate(
+                        msg.UnconfirmedSolution(sol.id, sol.to_bytes()), exclude=set()
+                    )
+                    log.info("prover: found solution id=%x (target %d)",
+                             sol_data.solution_id, target)
+                await asyncio.sleep(0)
             except asyncio.CancelledError:
                 return
             except Exception as exc:
                 log.debug("puzzle loop error: %s", exc)
                 await asyncio.sleep(0.5)
+
+    def _prove_batch_indexed(self, puzzle, epoch_hash, nonces, target):
+        out = []
+        sols = puzzle.prove_batch(epoch_hash, self.account.address, nonces, None)
+        for n, sol in zip(nonces, sols):
+            if target is None or puzzle.passes_target(sol.solution_id, target):
+                out.append((n, sol))
+        return out
 
     async def shut_down(self):
         for t in self._tasks:

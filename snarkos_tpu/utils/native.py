@@ -107,3 +107,53 @@ def bytes_to_limbs(data: bytes, nlimbs: int) -> np.ndarray:
         data, nlimbs, B, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
     )
     return out
+
+
+# -- native BLS12-377 G1 engine (native/g1_msm.cpp) -------------------------
+
+_G1_LIB_PATH = os.path.join(_NATIVE_DIR, "libg1msm.so")
+_G1_LIB = None
+_G1_TRIED = False
+
+
+def _load_g1():
+    global _G1_LIB, _G1_TRIED
+    if _G1_TRIED:
+        return _G1_LIB
+    _G1_TRIED = True
+    try:
+        if not os.path.exists(_G1_LIB_PATH):
+            subprocess.run(["make", "-C", _NATIVE_DIR, "libg1msm.so"],
+                           check=True, capture_output=True, timeout=120)
+        lib = ctypes.CDLL(_G1_LIB_PATH)
+        lib.g1_msm.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                               ctypes.c_long, ctypes.c_char_p]
+        lib.g1_msm.restype = ctypes.c_int
+        _G1_LIB = lib
+    except Exception as exc:  # pragma: no cover
+        log.debug("native g1 engine unavailable: %s", exc)
+        _G1_LIB = None
+    return _G1_LIB
+
+
+def have_g1() -> bool:
+    return _load_g1() is not None
+
+
+def g1_msm(scalars: list, affine_points: list):
+    """Native windowed-Pippenger MSM. scalars: canonical Fr ints;
+    affine_points: (x, y) canonical Fq int pairs. Returns a Jacobian
+    (X, Y, Z) tuple of canonical ints, or None if the engine is missing."""
+    lib = _load_g1()
+    if lib is None:
+        return None
+    n = len(scalars)
+    sbuf = b"".join(int(k).to_bytes(32, "little") for k in scalars)
+    pbuf = b"".join(int(x).to_bytes(48, "little") + int(y).to_bytes(48, "little")
+                    for x, y in affine_points)
+    out = ctypes.create_string_buffer(144)
+    if lib.g1_msm(sbuf, pbuf, n, out) != 0:
+        return None
+    raw = out.raw
+    return tuple(int.from_bytes(raw[i * 48:(i + 1) * 48], "little")
+                 for i in range(3))

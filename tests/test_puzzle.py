@@ -108,8 +108,26 @@ class TestTransactions:
 
         tx = create_transaction(b"payload-xyz", fee=3)
         assert verify_transaction(tx)
-        # tampered payload breaks the Fiat-Shamir binding
+        # tampering with the binding or the public tag breaks the proof
         from dataclasses import replace
 
         assert not verify_transaction(replace(tx, payload=b"payload-xyy"))
-        assert not verify_transaction(replace(tx, eval_y=(tx.eval_y + 1) % params.FR_MODULUS))
+        assert not verify_transaction(replace(tx, fee=4))
+        assert not verify_transaction(
+            replace(tx, auth_tag=(tx.auth_tag + 1) % params.FR_MODULUS))
+
+
+class TestBatchedProving:
+    def test_prove_batch_matches_single(self, small_puzzle):
+        """prove_batch(B nonces) produces exactly the per-nonce prove()
+        results (one batched Poseidon dispatch, VERDICT r1 item 8)."""
+        pz = small_puzzle
+        nonces = [11, 12, 13]
+        batch = pz.prove_batch(b"\x02" * 32, "aleo1prover", nonces, None)
+        assert len(batch) == len(nonces)
+        for n, got in zip(nonces, batch):
+            single = pz.prove(b"\x02" * 32, "aleo1prover", n, None)
+            assert got.commitment == single.commitment
+            assert got.eval_y == single.eval_y
+            assert got.witness == single.witness
+            assert got.solution_id == single.solution_id
