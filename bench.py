@@ -74,22 +74,52 @@ def bench_ntt(jax, log_n: int = 18):
 
 
 def _bench_points(log_n: int):
-    """(x, y) limb arrays of 2^log_n DISTINCT affine points (i+1)*G,
-    generated once on host (incremental chord additions + one Montgomery
-    batch inversion per chunk) and .cache'd to disk. Distinctness matters:
-    duplicated points constantly trigger the incomplete-add fallback,
-    which production inputs (SRS powers) never do."""
+    """(x, y) Montgomery limb arrays of 2^log_n pseudo-random affine
+    points k_i*G (64-bit splitmix64 multipliers from the native
+    fixed-base engine, native/g1_msm.cpp), .cache'd to disk.
+
+    Structure-free multipliers matter: the incomplete-add fast kernel
+    (ops/msm_pallas.py) relies on P == ±Q bucket collisions being
+    improbable, which holds for SRS-like bases (powers of tau) but NOT
+    for small-index bases like (i+1)*G, where subset sums of small
+    indices collide and constantly force the complete-engine fallback.
+    """
     from snarkos_tpu.crypto import params
     from snarkos_tpu.crypto.ref import g1 as ref
     from snarkos_tpu.ops.fieldspec import FQ
+    from snarkos_tpu.utils import native
 
     n = 1 << log_n
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
     os.makedirs(cache_dir, exist_ok=True)
-    path = os.path.join(cache_dir, f"bench_pts_{log_n}.npz")
+    path = os.path.join(cache_dir, f"bench_pts_rnd_{log_n}.npz")
     if os.path.exists(path):
         data = np.load(path)
         return data["x"], data["y"]
+
+    raw = native.g1_fixed_base_gen(20240 + log_n, n)
+    if raw is not None:
+        # (n, 12) canonical u64 -> (24, n) canonical 16-bit limbs (a pure
+        # byte repack), then one device mont-mul by R^2 per chunk.
+        import jax.numpy as jnp
+
+        from snarkos_tpu.ops import modarith as fa_ops
+
+        u16 = raw.view("<u2").reshape(n, 48)
+        x_can = np.ascontiguousarray(u16[:, :24].T).astype(np.int32)
+        y_can = np.ascontiguousarray(u16[:, 24:].T).astype(np.int32)
+        xs_out = np.empty((FQ.nlimbs, n), np.int32)
+        ys_out = np.empty((FQ.nlimbs, n), np.int32)
+        chunk = 1 << 20
+        for lo in range(0, n, chunk):
+            hi = min(n, lo + chunk)
+            xs_out[:, lo:hi] = np.asarray(fa_ops.to_mont(FQ, jnp.asarray(x_can[:, lo:hi])))
+            ys_out[:, lo:hi] = np.asarray(fa_ops.to_mont(FQ, jnp.asarray(y_can[:, lo:hi])))
+        np.savez(path, x=xs_out, y=ys_out)
+        return xs_out, ys_out
+
+    # fallback without the native engine: incremental (i+1)*G chord walk
+    # (correct but structured — the fast engine will fall back; slow).
     q = params.FQ_MODULUS
     xs_out = np.empty((FQ.nlimbs, n), np.int32)
     ys_out = np.empty((FQ.nlimbs, n), np.int32)

@@ -397,4 +397,141 @@ int g1_scalar_mul(const uint8_t *scalar_le, const uint8_t *point_xy_le,
   return g1_msm(scalar_le, point_xy_le, 1, out144);
 }
 
+}  // extern "C"  (reopened below for the fixed-base generator)
+
+// ---------------------------------------------------------------------------
+// Fixed-base batch generation of pseudo-random curve points: k_i * G for
+// splitmix64-derived 64-bit k_i. Produces SRS-like (structure-free) bases for
+// benchmarks and tests of the TPU MSM fast path — structured bases such as
+// (i+1)*G admit small-subset-sum collisions that constantly trip the
+// incomplete-add exception fallback (ops/msm_pallas.py), which real bases
+// (powers of tau; cf. the reference's CoinbasePuzzle SRS, snarkVM
+// parameters) never do.
+// ---------------------------------------------------------------------------
+
+#include <thread>
+
+static const u64 GEN_X[6] = {0xeab9b16eb21be9efULL, 0xd5481512ffcd394eULL,
+                             0x188282c8bd37cb5cULL, 0x85951e2caa9d41bbULL,
+                             0xc8fc6225bf87ff54ULL, 0x008848defe740a67ULL};
+static const u64 GEN_Y[6] = {0xfd82de55559c8ea6ULL, 0xc2fe3d3634a9591aULL,
+                             0x6d182ad44fb82305ULL, 0xbd7fb348ca3e52d9ULL,
+                             0x1f674f5d30afeec4ULL, 0x01914a69c5102effULL};
+
+static u64 splitmix64(u64 &state) {
+  u64 z = (state += 0x9e3779b97f4a7c15ULL);
+  z = (z ^ (z >> 30)) * 0xbf58476d1ce4e5b9ULL;
+  z = (z ^ (z >> 27)) * 0x94d049bb133111ebULL;
+  return z ^ (z >> 31);
+}
+
+// Fermat inversion: a^(q-2). ~750 muls; used once per normalization chunk.
+static void fq_inv(Fq &out, const Fq &a) {
+  u64 e[6];
+  std::memcpy(e, Q, sizeof e);
+  e[0] -= 2;  // q is odd with q[0] >= 2: no borrow
+  Fq base = a, acc;
+  std::memcpy(acc.v, ONE_MONT, sizeof acc.v);
+  for (int limb = 0; limb < 6; limb++) {
+    u64 bits = e[limb];
+    for (int b = 0; b < 64; b++) {
+      if (bits & 1) fq_mul(acc, acc, base);
+      fq_sqr(base, base);
+      bits >>= 1;
+    }
+  }
+  out = acc;
+}
+
+// Batch-normalize jac[0..n) to affine Montgomery coords (Montgomery trick:
+// one fq_inv per call). Inputs must be finite.
+static void g1_batch_to_affine(G1 *jac, long n, Fq *ax, Fq *ay) {
+  std::vector<Fq> prefix(n + 1);
+  std::memcpy(prefix[0].v, ONE_MONT, sizeof prefix[0].v);
+  for (long i = 0; i < n; i++) fq_mul(prefix[i + 1], prefix[i], jac[i].z);
+  Fq inv;
+  fq_inv(inv, prefix[n]);
+  for (long i = n - 1; i >= 0; i--) {
+    Fq zi, zi2;
+    fq_mul(zi, prefix[i], inv);       // 1/z_i
+    fq_mul(inv, inv, jac[i].z);       // strip z_i from the running inverse
+    fq_sqr(zi2, zi);
+    fq_mul(ax[i], jac[i].x, zi2);
+    fq_mul(zi2, zi2, zi);
+    fq_mul(ay[i], jac[i].y, zi2);
+  }
+}
+
+extern "C" {
+
+// out_xy: n * 96 bytes, canonical little-endian affine x||y of k_i * G with
+// k_i = splitmix64(seed, i) | 1 (64-bit, odd => nonzero). Threaded.
+int g1_fixed_base_gen(u64 seed, long n, uint8_t *out_xy) {
+  if (n <= 0) return 0;
+  // window tables: 8 windows x 255 entries, T[w][d-1] = d * 2^(8w) * G,
+  // normalized to affine so the per-point loop uses the cheaper g1_madd.
+  static const int W = 8, D = 255;
+  std::vector<G1> table_jac(W * D);
+  G1 base;
+  fq_from_canonical(base.x, GEN_X);
+  fq_from_canonical(base.y, GEN_Y);
+  std::memcpy(base.z.v, ONE_MONT, sizeof base.z.v);
+  for (int w = 0; w < W; w++) {
+    G1 cur = base;
+    for (int d = 0; d < D; d++) {
+      table_jac[w * D + d] = cur;
+      g1_add(cur, cur, base);
+    }
+    for (int b = 0; b < 8; b++) g1_double(base, base);
+  }
+  std::vector<Fq> tx(W * D), ty(W * D);
+  g1_batch_to_affine(table_jac.data(), W * D, tx.data(), ty.data());
+
+  unsigned nthreads = std::thread::hardware_concurrency();
+  if (nthreads == 0) nthreads = 1;
+  if (nthreads > 32) nthreads = 32;
+  if ((long)nthreads > n) nthreads = (unsigned)n;
+  std::vector<std::thread> threads;
+  const long CHUNK_N = 4096;
+  auto worker = [&](long lo, long hi) {
+    std::vector<G1> jac(CHUNK_N);
+    std::vector<Fq> ax(CHUNK_N), ay(CHUNK_N);
+    for (long start = lo; start < hi; start += CHUNK_N) {
+      long m = std::min(CHUNK_N, hi - start);
+      for (long i = 0; i < m; i++) {
+        u64 st = seed + (u64)(start + i) * 0x9e3779b97f4a7c15ULL;
+        u64 k = splitmix64(st) | 1ULL;
+        G1 acc;
+        g1_set_infinity(acc);
+        for (int w = 0; w < W; w++) {
+          unsigned d = (unsigned)((k >> (8 * w)) & 0xFF);
+          if (d) g1_madd(acc, acc, tx[w * D + d - 1], ty[w * D + d - 1]);
+        }
+        jac[i] = acc;  // k odd => never infinity
+      }
+      g1_batch_to_affine(jac.data(), m, ax.data(), ay.data());
+      for (long i = 0; i < m; i++) {
+        u64 canon[6];
+        uint8_t *dst = out_xy + 96 * (start + i);
+        fq_to_canonical(canon, ax[i]);
+        for (int l = 0; l < 6; l++)
+          for (int b = 0; b < 8; b++)
+            dst[l * 8 + b] = (uint8_t)(canon[l] >> (8 * b));
+        fq_to_canonical(canon, ay[i]);
+        for (int l = 0; l < 6; l++)
+          for (int b = 0; b < 8; b++)
+            dst[48 + l * 8 + b] = (uint8_t)(canon[l] >> (8 * b));
+      }
+    }
+  };
+  long per = (n + nthreads - 1) / nthreads;
+  for (unsigned t = 0; t < nthreads; t++) {
+    long lo = t * per, hi = std::min<long>(n, lo + per);
+    if (lo >= hi) break;
+    threads.emplace_back(worker, lo, hi);
+  }
+  for (auto &th : threads) th.join();
+  return 0;
+}
+
 }  // extern "C"

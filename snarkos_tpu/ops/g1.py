@@ -210,6 +210,47 @@ def madd_impl(p: JacobianPoints, qx: jax.Array, qy: jax.Array,
     return out
 
 
+def madd_incomplete_impl(p: JacobianPoints, qx: jax.Array, qy: jax.Array,
+                         one: jax.Array | None = None):
+    """INCOMPLETE mixed addition: madd-2007-bl generic path only (7M+4S =
+    11 Fq muls vs ~17 for the complete ``madd_impl``) plus the free
+    p-at-infinity select. The exceptional cases (P == ±Q, detected as
+    u2 == X1 with P finite) are NOT patched — lanes that hit one produce
+    garbage and raise the returned ``exc`` flag instead. Callers
+    accumulate the flag and rerun the complete engine on a hit; for
+    cryptographically random bases (SRS powers of tau, puzzle
+    commitments) the hit probability is ~2^-126 per add, so the fast
+    kernel is the steady-state MSM hot path (ops/msm_pallas.py).
+
+    Returns (points, exc) with exc a boolean batch-shape array.
+    """
+    if one is None:
+        one = fa.broadcast_const(FQ, 1, qx.shape[1:])
+    z1z1 = fa.mont_sqr_impl(FQ, p.z)
+    u2 = fa.mont_mul_impl(FQ, qx, z1z1)
+    s2 = fa.mont_mul_impl(FQ, qy, fa.mont_mul_impl(FQ, p.z, z1z1))
+    h = fa.sub_impl(FQ, u2, p.x)
+    rr = fa.double_impl(FQ, fa.sub_impl(FQ, s2, p.y))
+    hh = fa.mont_sqr_impl(FQ, h)
+    i = fa.mul_small_impl(FQ, hh, 4)
+    j = fa.mont_mul_impl(FQ, h, i)
+    v = fa.mont_mul_impl(FQ, p.x, i)
+    x3 = fa.sub_impl(FQ, fa.sub_impl(FQ, fa.mont_sqr_impl(FQ, rr), j),
+                     fa.double_impl(FQ, v))
+    y3 = fa.sub_impl(FQ, fa.mont_mul_impl(FQ, rr, fa.sub_impl(FQ, v, x3)),
+                     fa.double_impl(FQ, fa.mont_mul_impl(FQ, p.y, j)))
+    z3 = fa.sub_impl(
+        FQ,
+        fa.sub_impl(FQ, fa.mont_sqr_impl(FQ, fa.add_impl(FQ, p.z, h)), z1z1),
+        hh,
+    )
+    generic = JacobianPoints(x=x3, y=y3, z=z3)
+    p_inf = is_infinity_impl(p)
+    exc = jnp.logical_and(~p_inf, fa.eq_impl(FQ, u2, p.x))
+    out = select_points(p_inf, JacobianPoints(qx, qy, one), generic)
+    return out, exc
+
+
 def neg_impl(p: JacobianPoints) -> JacobianPoints:
     return JacobianPoints(x=p.x, y=fa.neg_impl(FQ, p.y), z=p.z)
 

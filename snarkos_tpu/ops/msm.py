@@ -343,9 +343,13 @@ def fused_window_bits(n: int) -> int:
 
 def _fused_msm_body(x, ycat, packed_digits, c: int, lanes: int, chunk: int,
                     use_pallas: bool, group: GroupOps | None = None,
-                    scan_fn=None):
+                    scan_fn=None, fast: bool = False):
     """Window loop of the fused engine. x: (L, N) affine x; ycat: (L, 2N)
-    [y | -y]; packed_digits: (W, N). Returns (x, y, z) width-1 tuple.
+    [y | -y]; packed_digits: (W, N). Returns (x, y, z) width-1 tuple, or
+    ((x, y, z), exc) with ``fast=True`` — exc is a scalar int32 that is
+    nonzero iff any bucket-scan lane in any window hit an exceptional
+    (P == ±Q) case, in which case the result is garbage and the caller
+    must rerun with ``fast=False`` (see g1.madd_incomplete_impl).
 
     group/scan_fn are injectable so the combinatorics (signed digits, sort
     relayout, cross-lane carries, bucket-tail fixup) are testable with a
@@ -360,7 +364,7 @@ def _fused_msm_body(x, ycat, packed_digits, c: int, lanes: int, chunk: int,
     if scan_fn is None:
         from snarkos_tpu.ops import msm_pallas
 
-        scan_fn = msm_pallas.bucket_scan
+        scan_fn = msm_pallas.bucket_scan_fast if fast else msm_pallas.bucket_scan
     seg = group.seg_combine or _default_seg_combine(group)
     bucket_ids = jnp.arange(B, dtype=jnp.int32)
 
@@ -370,7 +374,8 @@ def _fused_msm_body(x, ycat, packed_digits, c: int, lanes: int, chunk: int,
         cur = _hillis_steele_prefix(seg, group, (flags,) + rev, B, len(vals))
         return tuple(t[..., ::-1] for t in cur[1:])
 
-    def window_body(acc, packed):
+    def window_body(carry, packed):
+        acc, exc_acc = carry
         bucket = packed & 0xFFFF
         sign = packed >> 16
         keys, order = jax.lax.sort(
@@ -387,7 +392,13 @@ def _fused_msm_body(x, ycat, packed_digits, c: int, lanes: int, chunk: int,
             [jnp.ones((1,), jnp.int32), (keys[1:] != keys[:-1]).astype(jnp.int32)]
         )
         heads_lane = head.reshape(K, m).T  # (m, K)
-        sx, sy, sz = scan_fn(xs, ys, heads_lane[None], K, chunk)
+        if fast:
+            nz_lane = (keys > 0).astype(jnp.int32).reshape(K, m).T  # (m, K)
+            sx, sy, sz, exc = scan_fn(xs, ys, heads_lane[None], nz_lane[None],
+                                      K, chunk)
+            exc_acc = exc_acc | jnp.max(exc)
+        else:
+            sx, sy, sz = scan_fn(xs, ys, heads_lane[None], K, chunk)
 
         # cross-lane carries: inclusive segmented scan of per-lane finals
         lane_flag = jnp.max(heads_lane, axis=0)[None]  # (1, K)
@@ -424,22 +435,23 @@ def _fused_msm_body(x, ycat, packed_digits, c: int, lanes: int, chunk: int,
 
         acc = jax.lax.fori_loop(0, c, dbl, acc)
         acc = group.add(acc, t_w)
-        return acc, None
+        return (acc, exc_acc), None
 
-    acc, _ = jax.lax.scan(window_body, group.identity(1), packed_digits[::-1])
+    carry0 = (group.identity(1), jnp.int32(0))
+    (acc, exc_total), _ = jax.lax.scan(window_body, carry0, packed_digits[::-1])
+    if fast:
+        return acc, exc_total
     return acc
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
-def msm_affine(x: jax.Array, y: jax.Array, scalar_limbs: jax.Array, c: int = 0,
-               lanes: int = 0, chunk: int = 8, use_pallas: bool | None = None):
-    """Fused signed-window MSM over AFFINE points (the hot path).
-
-    x, y: (L, N) affine Montgomery coordinates (points must NOT be the
-    identity; zero scalars are fine and land in the discarded 0 bucket).
-    Inputs are padded internally to a multiple of lanes*chunk by repeating
-    point 0 with scalar 0. Returns a width-1 JacobianPoints.
-    """
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+def _msm_affine_jit(x: jax.Array, y: jax.Array, scalar_limbs: jax.Array, c: int = 0,
+                    lanes: int = 0, chunk: int = 8, use_pallas: bool | None = None,
+                    fast: bool = False):
+    """Jitted fused signed-window engine. Returns (JacobianPoints, exc):
+    exc is a scalar int32, always 0 with ``fast=False``; with ``fast=True``
+    nonzero exc means an incomplete-add exception fired and the point is
+    garbage (caller falls back — see ``msm_affine``)."""
     from snarkos_tpu.ops import g1 as g1ops
     from snarkos_tpu.ops import modarith as fa
     from snarkos_tpu.ops import msm_pallas
@@ -463,8 +475,45 @@ def msm_affine(x: jax.Array, y: jax.Array, scalar_limbs: jax.Array, c: int = 0,
     yneg = fa.neg_impl(fa_FQ, y)
     ycat = jnp.concatenate([y, yneg], axis=-1)
     packed = signed_window_digits(scalar_limbs, c)
-    out = _fused_msm_body(x, ycat, packed, c, lanes, chunk, use_pallas)
-    return g1ops.JacobianPoints(*tuple(t[..., :1] for t in out))
+    if fast:
+        out, exc = _fused_msm_body(x, ycat, packed, c, lanes, chunk, use_pallas,
+                                   fast=True)
+    else:
+        out = _fused_msm_body(x, ycat, packed, c, lanes, chunk, use_pallas)
+        exc = jnp.int32(0)
+    return g1ops.JacobianPoints(*tuple(t[..., :1] for t in out)), exc
+
+
+def msm_affine(x: jax.Array, y: jax.Array, scalar_limbs: jax.Array, c: int = 0,
+               lanes: int = 0, chunk: int = 8, use_pallas: bool | None = None,
+               fast: bool | None = None):
+    """Fused signed-window MSM over AFFINE points (the hot path).
+
+    x, y: (L, N) affine Montgomery coordinates (points must NOT be the
+    identity; zero scalars are fine and land in the discarded 0 bucket).
+    Inputs are padded internally to a multiple of lanes*chunk by repeating
+    point 0 with scalar 0. Returns a width-1 JacobianPoints.
+
+    The default engine is the incomplete-add fast kernel (11 Fq muls per
+    scan add); the exception flag is checked on host and the complete
+    engine (17 muls) reruns on a hit — for random bases the rerun never
+    triggers, matching how the reference's bases (SRS powers) behave.
+    Under an outer trace the host check is impossible, so the complete
+    engine is used; pass ``fast=False`` to force it anywhere.
+    """
+    traced = any(isinstance(t, jax.core.Tracer) for t in (x, y, scalar_limbs))
+    if fast is None:
+        fast = not traced
+    if not fast:
+        out, _ = _msm_affine_jit(x, y, scalar_limbs, c, lanes, chunk, use_pallas,
+                                 False)
+        return out
+    out, exc = _msm_affine_jit(x, y, scalar_limbs, c, lanes, chunk, use_pallas,
+                               True)
+    if int(exc) != 0:
+        out, _ = _msm_affine_jit(x, y, scalar_limbs, c, lanes, chunk, use_pallas,
+                                 False)
+    return out
 
 
 def msm(points, scalar_limbs: jax.Array, c: int = 0, use_pallas: bool | None = None,

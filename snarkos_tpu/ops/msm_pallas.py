@@ -82,7 +82,89 @@ def _scan_kernel(one_ref, xs_ref, ys_ref, fl_ref, ox_ref, oy_ref, oz_ref, carry_
         oz_ref[:, j, :] = out_z
         return 0
 
-    jax.lax.fori_loop(0, CHUNK, body, 0)
+    jax.lax.fori_loop(0, xs_ref.shape[1], body, 0)
+
+
+def _scan_kernel_fast(one_ref, xs_ref, ys_ref, fl_ref, nz_ref,
+                      ox_ref, oy_ref, oz_ref, oexc_ref, carry_ref, exc_ref):
+    """Incomplete-add variant of ``_scan_kernel``: the combine is
+    ``g1.madd_incomplete_impl`` (11 Fq muls vs ~17), exceptional lanes
+    (P == ±Q inside a segment) raise a sticky per-lane flag instead of
+    being patched. ``oexc_ref`` maps every grid step to the same (1, K)
+    block, so the value left after the final step is the accumulated OR.
+
+    ``nz_ref`` masks the flag to positions in NONZERO buckets: bucket 0
+    (zero digits — zero scalars and pad lanes, typically N copies of one
+    point, i.e. guaranteed P == Q hits) is discarded downstream, and its
+    corruption cannot cross a segment head into a live bucket — the scan
+    resets at every head and the cross-lane carry scan is segmented, so
+    garbage stays within the bucket-0 segment. Exceptional outputs are
+    still canonical field elements (h == 0 forces z3 == 0 exactly), so
+    no overflow hazard propagates either.
+    """
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        carry_ref[...] = jnp.zeros_like(carry_ref)
+        exc_ref[...] = jnp.zeros_like(exc_ref)
+
+    one = one_ref[...]
+
+    def body(j, _):
+        qx = xs_ref[:, j, :]
+        qy = ys_ref[:, j, :]
+        reset = fl_ref[:, j, :] != 0  # (1, K)
+        p = g1.JacobianPoints(carry_ref[0], carry_ref[1], carry_ref[2])
+        out, exc = g1.madd_incomplete_impl(p, qx, qy, one=one)
+        # a segment head overwrites the combine, so its exception is moot
+        live = jnp.logical_and(~reset, nz_ref[:, j, :] != 0)
+        exc_ref[...] |= jnp.where(live, exc[None].astype(jnp.int32), 0)
+        out_x = jnp.where(reset, qx, out.x)
+        out_y = jnp.where(reset, qy, out.y)
+        out_z = jnp.where(reset, one, out.z)
+        carry_ref[0], carry_ref[1], carry_ref[2] = out_x, out_y, out_z
+        ox_ref[:, j, :] = out_x
+        oy_ref[:, j, :] = out_y
+        oz_ref[:, j, :] = out_z
+        return 0
+
+    jax.lax.fori_loop(0, xs_ref.shape[1], body, 0)
+    oexc_ref[...] = exc_ref[...]
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def bucket_scan_fast(xs: jax.Array, ys: jax.Array, flags: jax.Array,
+                     nonzero: jax.Array, lanes: int = LANES, chunk: int = CHUNK):
+    """Incomplete-add segmented scan. Same contract as ``bucket_scan``
+    plus a ``nonzero`` input ((1, m, K) int32, 1 where the position's
+    bucket key is > 0) and a fourth output ``exc``: (1, K) int32, nonzero
+    in lanes that hit an exceptional case in a live bucket (their scan
+    values are garbage — the caller must detect this and fall back to the
+    complete engine)."""
+    L, m, K = xs.shape
+    assert K == lanes and m % chunk == 0, (xs.shape, lanes, chunk)
+    from snarkos_tpu.ops import modarith as fa
+
+    one = fa.broadcast_const(FQ, 1, (K,))
+    coord = pl.BlockSpec((L, chunk, K), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    flag = pl.BlockSpec((1, chunk, K), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    onespec = pl.BlockSpec((L, K), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    excspec = pl.BlockSpec((1, K), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((L, m, K), jnp.int32)
+    exc_shape = jax.ShapeDtypeStruct((1, K), jnp.int32)
+
+    with fa.unrolled_muls():
+        sx, sy, sz, exc = pl.pallas_call(
+            _scan_kernel_fast,
+            grid=(m // chunk,),
+            in_specs=[onespec, coord, coord, flag, flag],
+            out_specs=[coord] * 3 + [excspec],
+            out_shape=[shape] * 3 + [exc_shape],
+            scratch_shapes=[pltpu.VMEM((3, L, K), jnp.int32),
+                            pltpu.VMEM((1, K), jnp.int32)],
+            interpret=_interpret(),
+        )(one, xs, ys, flags, nonzero)
+    return sx, sy, sz, exc
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4))

@@ -129,6 +129,9 @@ def _load_g1():
         lib.g1_msm.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
                                ctypes.c_long, ctypes.c_char_p]
         lib.g1_msm.restype = ctypes.c_int
+        lib.g1_fixed_base_gen.argtypes = [ctypes.c_uint64, ctypes.c_long,
+                                          ctypes.c_void_p]
+        lib.g1_fixed_base_gen.restype = ctypes.c_int
         _G1_LIB = lib
     except Exception as exc:  # pragma: no cover
         log.debug("native g1 engine unavailable: %s", exc)
@@ -138,6 +141,20 @@ def _load_g1():
 
 def have_g1() -> bool:
     return _load_g1() is not None
+
+
+def g1_fixed_base_gen(seed: int, n: int):
+    """n pseudo-random curve points k_i * G (64-bit splitmix64 k_i, odd):
+    SRS-like structure-free bases for MSM benches/tests. Returns an
+    (n, 12) uint64 array of canonical little-endian affine x||y limbs
+    (6 + 6 per point), or None if the engine is missing."""
+    lib = _load_g1()
+    if lib is None:
+        return None
+    out = np.empty((n, 12), dtype=np.uint64)
+    if lib.g1_fixed_base_gen(seed, n, out.ctypes.data) != 0:
+        return None
+    return out
 
 
 def g1_msm(scalars: list, affine_points: list):

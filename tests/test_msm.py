@@ -162,3 +162,62 @@ def test_msm_g1_small():
     got = g1ops.decode_points(out)[0]
     expect = ref.msm(scalars, pts_ref)
     assert ref.affine(got) == ref.affine(expect)
+
+
+@pytest.mark.slow
+def test_msm_affine_fast_g1():
+    """The incomplete-add fast engine (interpret mode) matches the
+    reference on random-multiple bases with NO exception raised — the
+    production case (SRS powers)."""
+    from snarkos_tpu.crypto.ref import g1 as ref
+    from snarkos_tpu.ops import g1 as g1ops
+    from snarkos_tpu.ops.fieldspec import FQ
+
+    n = 16
+    scalars = [RNG.randrange(params.FR_MODULUS) for _ in range(n)]
+    scalars[3] = 0  # zero-scalar lane -> discarded bucket 0
+    pts_ref = [ref.scalar_mul(RNG.randrange(1, params.FR_MODULUS), ref.GENERATOR)
+               for _ in range(n)]
+    aff = [ref.affine(p) for p in pts_ref]
+    x = jnp.array(FQ.encode([a[0] for a in aff], mont=True))
+    y = jnp.array(FQ.encode([a[1] for a in aff], mont=True))
+    limbs = jnp.array(FR.encode(scalars, mont=False))
+
+    out, exc = msm_mod._msm_affine_jit(x, y, limbs, 4, 8, 2, False, True)
+    # input pads to 8*2 with copies of point 0 at scalar 0: bucket-0
+    # exceptions are masked, so the flag must stay clear here
+    assert int(exc) == 0
+    got = g1ops.decode_points(out)[0]
+    expect = ref.msm(scalars, pts_ref)
+    assert ref.affine(got) == ref.affine(expect)
+
+
+@pytest.mark.slow
+def test_msm_affine_exception_fallback():
+    """Duplicate bases in the SAME live bucket force a P == Q hit: the
+    fast engine must raise exc, and the public msm_affine wrapper must
+    fall back to the complete engine and still return the right answer."""
+    from snarkos_tpu.crypto.ref import g1 as ref
+    from snarkos_tpu.ops import g1 as g1ops
+    from snarkos_tpu.ops.fieldspec import FQ
+
+    n = 16
+    base = ref.scalar_mul(12345, ref.GENERATOR)
+    pts_ref = [base] * 2 + [
+        ref.scalar_mul(RNG.randrange(1, params.FR_MODULUS), ref.GENERATOR)
+        for _ in range(n - 2)
+    ]
+    scalars = [1, 1] + [RNG.randrange(params.FR_MODULUS) for _ in range(n - 2)]
+    aff = [ref.affine(p) for p in pts_ref]
+    x = jnp.array(FQ.encode([a[0] for a in aff], mont=True))
+    y = jnp.array(FQ.encode([a[1] for a in aff], mont=True))
+    limbs = jnp.array(FR.encode(scalars, mont=False))
+
+    _, exc = msm_mod._msm_affine_jit(x, y, limbs, 4, 8, 2, False, True)
+    assert int(exc) != 0
+
+    out = msm_mod.msm_affine(x, y, limbs, c=4, lanes=8, chunk=2,
+                             use_pallas=False)
+    got = g1ops.decode_points(out)[0]
+    expect = ref.msm(scalars, pts_ref)
+    assert ref.affine(got) == ref.affine(expect)
