@@ -82,7 +82,7 @@ def _parse_peer_list(s: str) -> tuple:
 
 async def _run_start(args) -> None:
     from snarkos_tpu.node.roles import Client, Prover, Validator
-    from snarkos_tpu.node.types import genesis_block
+    from snarkos_tpu.node.ledger import make_genesis
 
     verb_levels = {0: logging.ERROR, 1: logging.INFO, 2: logging.DEBUG}
     logging.basicConfig(
@@ -129,7 +129,7 @@ async def _run_start(args) -> None:
     print(f"node address: {av.address}")
 
     if args.prover:
-        node = Prover(av, genesis_block(committee).hash,
+        node = Prover(av, make_genesis(committee).hash,
                       node_ip=node_addr[0], node_port=node_addr[1],
                       trusted_peers=trusted_peers,
                       log_degree=args.puzzle_log_degree)
@@ -214,7 +214,17 @@ def main(argv=None):
     p_dev = sub.add_parser("developer", help="build and broadcast transactions")
     dev_sub = p_dev.add_subparsers(dest="dev_command", required=True)
     p_exec = dev_sub.add_parser("execute", help="create + broadcast a transaction")
-    p_exec.add_argument("--payload", required=True)
+    p_exec.add_argument("--payload", default=None,
+                        help="raw payload bytes (exclusive with --program)")
+    p_exec.add_argument("--program", default=None,
+                        help="program id for an on-chain function execution "
+                             "(reference: developer execute <program> <function>, "
+                             "cli/src/commands/developer/execute.rs)")
+    p_exec.add_argument("--function", default=None)
+    p_exec.add_argument("--inputs", default="",
+                        help="space-separated typed literals, e.g. '5u64 true'")
+    p_exec.add_argument("--caller", default=None,
+                        help="caller address for self.caller (defaults to zero)")
     p_exec.add_argument("--fee", type=int, default=0)
     p_exec.add_argument("--broadcast", default=None,
                         help="REST base url, e.g. http://127.0.0.1:3030/testnet")
@@ -310,7 +320,21 @@ def main(argv=None):
         if args.dev_command in ("execute", "deploy"):
             from snarkos_tpu.node.ledger import create_transaction
 
-            payload = args.payload.encode()
+            if args.dev_command == "execute" and getattr(args, "program", None):
+                if not args.function:
+                    print("--function is required with --program")
+                    return 1
+                parts = [f"execute {args.program}/{args.function}"]
+                if args.caller:
+                    parts.append(args.caller)
+                if args.inputs:
+                    parts.append(args.inputs)
+                payload = " ".join(parts).encode()
+            elif args.payload is not None:
+                payload = args.payload.encode()
+            else:
+                print("--payload or --program is required")
+                return 1
             if args.dev_command == "deploy" and getattr(args, "program_id", None):
                 payload = f"program {args.program_id}\n".encode() + payload
             tx = create_transaction(payload, fee=args.fee,

@@ -38,6 +38,102 @@ TX_CHALLENGE_DOMAIN = "snarkos_tpu.transaction.challenge"
 
 MAX_SOLUTIONS_PER_BLOCK = 4
 
+# -- genesis quorum synthesis -------------------------------------------------
+# The reference synthesizes a dev genesis with vm.genesis_quorum
+# (cli/src/commands/start.rs:764-767): a block carrying the credits program
+# state — committee bonding, public balances — plus proven deployment. Here
+# the genesis block carries a Varuna-proven deployment of the framework's
+# credits.aleo (the staking/balances program, executable by the on-chain VM,
+# snarkos_tpu/vm), and block-0 indexing applies the ratification-equivalent
+# bonding state for every committee member (bonded/committee/account
+# mappings), so a fresh node answers the same program/mapping queries the
+# reference answers at height 0.
+
+GENESIS_STARTING_BALANCE = 10_000_000_000  # public credits per member
+_GENESIS_TX_KEY = 0x6765_6E65_7369_73  # deterministic: same tx on every node
+
+CREDITS_PROGRAM = """\
+program credits.aleo;
+
+mapping account:
+    key as address.public;
+    value as u64.public;
+
+mapping bonded:
+    key as address.public;
+    value as u64.public;
+
+mapping committee:
+    key as address.public;
+    value as boolean.public;
+
+function transfer_public:
+    input r0 as address.public;
+    input r1 as u64.public;
+    async transfer_public self.caller r0 r1 into r2;
+    output r2 as credits.aleo/transfer_public.future;
+
+finalize transfer_public:
+    input r0 as address.public;
+    input r1 as address.public;
+    input r2 as u64.public;
+    get account[r0] into r3;
+    sub r3 r2 into r4;
+    set r4 into account[r0];
+    get.or_use account[r1] 0u64 into r5;
+    add r5 r2 into r6;
+    set r6 into account[r1];
+
+function bond_public:
+    input r0 as u64.public;
+    async bond_public self.caller r0 into r1;
+    output r1 as credits.aleo/bond_public.future;
+
+finalize bond_public:
+    input r0 as address.public;
+    input r1 as u64.public;
+    get account[r0] into r2;
+    sub r2 r1 into r3;
+    set r3 into account[r0];
+    get.or_use bonded[r0] 0u64 into r4;
+    add r4 r1 into r5;
+    set r5 into bonded[r0];
+
+function unbond_public:
+    input r0 as u64.public;
+    async unbond_public self.caller r0 into r1;
+    output r1 as credits.aleo/unbond_public.future;
+
+finalize unbond_public:
+    input r0 as address.public;
+    input r1 as u64.public;
+    get bonded[r0] into r2;
+    sub r2 r1 into r3;
+    set r3 into bonded[r0];
+    get account[r0] into r4;
+    add r4 r1 into r5;
+    set r5 into account[r0];
+"""
+
+_GENESIS_CACHE: dict[bytes, Block] = {}
+
+
+def make_genesis(committee: Committee) -> Block:
+    """Genesis block carrying the proven credits.aleo deployment
+    (vm.genesis_quorum capability; deterministic across validators)."""
+    cached = _GENESIS_CACHE.get(committee.id)
+    if cached is None:
+        import dataclasses
+
+        deploy = create_transaction(CREDITS_PROGRAM.encode(), is_deploy=True,
+                                    key=_GENESIS_TX_KEY)
+        cached = dataclasses.replace(
+            genesis_block(committee),
+            transmissions=(Transmission(types.TX_TRANSACTION, deploy.to_bytes()),),
+        )
+        _GENESIS_CACHE[committee.id] = cached
+    return cached
+
 
 def transaction_challenge(payload: bytes, commitment: bytes) -> int:
     """Fiat-Shamir opening point binding the payload to the commitment."""
@@ -63,7 +159,9 @@ class Ledger:
         # update that program's mapping. Rebuilt deterministically from the
         # committed chain on load.
         self.programs: dict[str, str] = {}
+        self.parsed_programs: dict[str, object] = {}  # id -> vm.Program
         self.mappings: dict[tuple[str, str], dict[str, str]] = {}
+        self.aborted_tx_ids: set[bytes] = set()  # failed execute/finalize
         self.lock = threading.RLock()
         self._load_or_init()
 
@@ -81,7 +179,7 @@ class Ledger:
                 pos += 4 + ln
             loaded = bool(self.blocks)
         if not loaded:
-            self._index_block(genesis_block(self.committee))
+            self._index_block(make_genesis(self.committee))
             self._persist(self.blocks[0])
 
     def _persist(self, block: Block):
@@ -99,21 +197,84 @@ class Ledger:
             self.committed_ids.add(t.id)
             if t.kind == types.TX_TRANSACTION:
                 try:
-                    self._apply_program_ops(t.deserialize())
+                    self._apply_program_ops(t.deserialize(), block.height)
                 except Exception:
                     pass  # non-program payloads carry arbitrary bytes
         if block.subdag:
             for cert in block.subdag.all_certificates():
                 self.committed_cert_ids.add(cert.id)
+        if block.height == 0:
+            self._apply_genesis_ratifications()
 
-    def _apply_program_ops(self, tx: Transaction) -> None:
-        """Deterministic program-state transition for committed transactions."""
+    def _apply_genesis_ratifications(self) -> None:
+        """Block-0 bonding state (the reference's genesis ratifications,
+        produced by vm.genesis_quorum): every committee member is bonded at
+        its stake, marked in the committee mapping, and funded with a
+        public starting balance."""
+        for addr, stake, _open in self.committee.members:
+            self.mappings.setdefault(("credits.aleo", "bonded"), {})[addr] = f"{stake}u64"
+            self.mappings.setdefault(("credits.aleo", "committee"), {})[addr] = "true"
+            self.mappings.setdefault(("credits.aleo", "account"), {})[addr] = \
+                f"{GENESIS_STARTING_BALANCE}u64"
+
+    def _apply_program_ops(self, tx: Transaction, block_height: int = 0) -> None:
+        """Deterministic program-state transition for committed transactions.
+
+        Deploys carrying a well-formed Aleo-instructions source are parsed
+        and registered for execution (snarkos_tpu/vm); executes of the form
+        ``execute <program>/<function> [caller] [args...]`` run the function
+        and its finalize block against the mapping store — a halt aborts the
+        transaction's state transition (recorded in aborted_tx_ids) without
+        rejecting the block, mirroring the reference's aborted-transaction
+        semantics on advance (ledger-service/src/ledger.rs:366-383).
+        Legacy trivial payload forms (raw deploy source, ``call p/m k=v``)
+        remain accepted for non-program byte payloads.
+        """
+        from snarkos_tpu import vm as avm
+
         payload = tx.payload
         if tx.is_deploy and payload.startswith(b"program "):
-            head, _, source = payload.partition(b"\n")
+            source = payload.decode(errors="replace")
+            try:
+                prog = avm.parse_program(source)
+                if prog.id not in self.programs:
+                    self.programs[prog.id] = source
+                    self.parsed_programs[prog.id] = prog
+                return
+            except avm.ParseError:
+                pass  # legacy raw-source deploy below
+            head, _, src = payload.partition(b"\n")
             program_id = head[len(b"program "):].strip().decode()
             if program_id and program_id not in self.programs:
-                self.programs[program_id] = source.decode(errors="replace")
+                self.programs[program_id] = src.decode(errors="replace")
+        elif not tx.is_deploy and payload.startswith(b"execute "):
+            body = payload[len(b"execute "):].decode(errors="replace")
+            toks = body.split()
+            program_id, _, fn_name = toks[0].partition("/")
+            prog = self.parsed_programs.get(program_id)
+            if prog is None or not fn_name:
+                return
+            args_toks = toks[1:]
+            caller = "aleo1" + "0" * 64
+            if args_toks and args_toks[0].startswith("aleo1"):
+                caller, args_toks = args_toks[0], args_toks[1:]
+            ctx = avm.ExecContext(program=prog, caller=caller,
+                                  block_height=block_height,
+                                  tx_seed=tx.id.digest)
+            try:
+                fn = prog.functions.get(fn_name)
+                if fn is None:
+                    raise avm.HaltError(f"unknown function {fn_name!r}")
+                if len(args_toks) != len(fn.inputs):
+                    raise avm.HaltError("input arity mismatch")
+                args = [avm.parse_typed(t, ty)
+                        for t, (_, ty, _) in zip(args_toks, fn.inputs)]
+                result = avm.execute_function(prog, fn_name, args, ctx)
+                if result.finalize is not None:
+                    store = avm.MappingStore(self.mappings)
+                    avm.execute_finalize(prog, result.finalize, store, ctx)
+            except avm.HaltError:
+                self.aborted_tx_ids.add(tx.id.digest)
         elif not tx.is_deploy and payload.startswith(b"call "):
             # call <program_id>/<mapping> <key>=<value>
             body = payload[len(b"call "):].decode(errors="replace")
@@ -506,7 +667,7 @@ class MockLedgerService(LedgerService):
     def __init__(self, committee: Committee):
         self.committee = committee
         self._height = 0
-        self._blocks = [genesis_block(committee)]
+        self._blocks = [make_genesis(committee)]
         self._committed_tids: set = set()
 
     def latest_round(self): return self._blocks[-1].round

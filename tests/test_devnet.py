@@ -67,6 +67,9 @@ async def test_tcp_devnet_commits_blocks():
         # (puzzle-valid solutions are exercised in test_puzzle)
         from snarkos_tpu.node.types import Solution
 
+        from snarkos_tpu.node.ledger import create_transaction
+        from snarkos_tpu.node.types import Transmission
+
         for i in range(4):
             sol = Solution(
                 epoch_hash=nodes[0].ledger.latest_epoch_hash,
@@ -75,9 +78,16 @@ async def test_tcp_devnet_commits_blocks():
             )
             for v in nodes:
                 v.consensus.primary.worker.ready[sol.id] = (
-                    __import__("snarkos_tpu.node.types", fromlist=["Transmission"])
-                    .Transmission.from_solution(sol)
+                    Transmission.from_solution(sol)
                 )
+        # one on-chain program execution riding consensus: committed blocks
+        # must apply the credits.aleo transfer through the VM finalize path
+        payer = nodes[0].account.address
+        payee = "aleo1" + "c" * 64
+        tx = create_transaction(
+            f"execute credits.aleo/transfer_public {payer} {payee} 9u64".encode())
+        for v in nodes:
+            v.consensus.primary.worker.ready[tx.id] = Transmission.from_transaction(tx)
         ok = await _wait_for(
             lambda: min(v.ledger.latest_height for v in nodes) >= 2, timeout=120.0
         )
@@ -87,6 +97,16 @@ async def test_tcp_devnet_commits_blocks():
         h = min(heights)
         hashes = {v.ledger.get_hash(h) for v in nodes}
         assert len(hashes) == 1, "divergent chains"
+        # the transfer committed on at least the nodes that included it;
+        # any node at/above the committing height must agree on the mapping
+        committed = await _wait_for(
+            lambda: any(
+                v.ledger.get_mapping_value("credits.aleo", "account", payee) == "9u64"
+                for v in nodes
+            ),
+            timeout=60.0,
+        )
+        assert committed, "committed execute tx did not update mappings"
     finally:
         for v in nodes:
             await v.shut_down()
