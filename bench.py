@@ -192,8 +192,34 @@ def bench_prover(jax, batch: int = 8):
     return batch / dt
 
 
+def _native_ref_msm_rate() -> float | None:
+    """Calibrate the native C++ single-thread Pippenger (points/s at
+    2^14) — the honest CPU baseline (same class of implementation as the
+    reference's arkworks backend, one core; the reference machine would
+    scale it by its core count)."""
+    import random
+
+    from snarkos_tpu.crypto import params
+    from snarkos_tpu.utils import native
+
+    n = 1 << 14
+    raw = native.g1_fixed_base_gen(11, n)
+    if raw is None:
+        return None
+    pts = []
+    for i in range(n):
+        x = sum(int(raw[i][j]) << (64 * j) for j in range(6))
+        y = sum(int(raw[i][6 + j]) << (64 * j) for j in range(6))
+        pts.append((x, y))
+    rng = random.Random(0)
+    scalars = [rng.randrange(params.FR_MODULUS) for _ in range(n)]
+    t0 = time.time()
+    native.g1_msm(scalars, pts)
+    return n / (time.time() - t0)
+
+
 def _python_ref_msm_rate() -> float:
-    """Calibrate the host pure-Python reference MSM (points/s)."""
+    """Pure-Python bigint MSM rate (fallback calibration)."""
     import random
 
     from snarkos_tpu.crypto.ref import g1 as ref
@@ -222,7 +248,7 @@ def main():
     except Exception as exc:  # pragma: no cover
         extras["poseidon_error"] = str(exc)[:200]
     try:
-        ntt_rate, _, ntt_n = bench_ntt(jax, min(log_n + 2, 18))
+        ntt_rate, _, ntt_n = bench_ntt(jax, min(log_n + 2, 22))
         extras["ntt_elems_per_s"] = round(ntt_rate)
         extras["ntt_size"] = ntt_n
     except Exception as exc:  # pragma: no cover
@@ -241,7 +267,7 @@ def main():
         except Exception as exc:
             extras["msm_error"] = str(exc)[:200]
     if value is None and "ntt_elems_per_s" in extras:
-        metric, value, unit = f"ntt_elems_per_s_2^{min(log_n + 2, 18)}", extras["ntt_elems_per_s"], "elems/s"
+        metric, value, unit = f"ntt_elems_per_s_2^{min(log_n + 2, 22)}", extras["ntt_elems_per_s"], "elems/s"
     if value is None and "poseidon_hashes_per_s" in extras:
         metric, value, unit = "poseidon_hashes_per_s_2^16", extras["poseidon_hashes_per_s"], "hashes/s"
     if value is None:
@@ -249,10 +275,19 @@ def main():
                           "vs_baseline": 0.0, "extras": extras}))
         return 1
 
-    try:
-        ref_rate = _python_ref_msm_rate() if "msm" in (metric or "") else None
-    except Exception:
-        ref_rate = None
+    ref_rate = None
+    if "msm" in (metric or ""):
+        try:
+            ref_rate = _native_ref_msm_rate()
+            extras["baseline"] = "native C++ Pippenger, 1 thread, 2^14"
+        except Exception:
+            ref_rate = None
+        if ref_rate is None:
+            try:
+                ref_rate = _python_ref_msm_rate()
+                extras["baseline"] = "pure-Python MSM"
+            except Exception:
+                ref_rate = None
     vs_baseline = round(value / ref_rate, 2) if ref_rate else 1.0
 
     print(json.dumps({

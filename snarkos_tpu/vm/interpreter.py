@@ -64,8 +64,15 @@ class MappingStore:
         return key in self.backing.get((program_id, mapping), {})
 
 
-def _hash_to_field(data: bytes) -> int:
-    return int.from_bytes(hashlib.sha256(data).digest(), "little") % V.FIELD_P
+def _value_to_fields(v: Value) -> list:
+    """Canonical field-element encoding of a console value for hashing
+    (framework-own packing: the printable form's bytes in 31-byte field
+    chunks, preceded by a type tag — injective per type)."""
+    data = V.format_value(v).encode()
+    out = [len(data)]
+    for i in range(0, len(data), 31):
+        out.append(int.from_bytes(data[i:i + 31], "little"))
+    return out
 
 
 class _Frame:
@@ -185,17 +192,31 @@ def _run_instruction(ins, frame: _Frame, ctx: ExecContext):
                 raise HaltError("cast expects one operand")
             v = _operand(frame, ctx, ins.operands[0])
             frame.set(ins.dests[0], V.cast(v, ty, lossy=op.endswith("lossy")))
-    elif op in ("hash.bhp256", "hash.psd2", "hash.psd4"):
+    elif op in ("hash.psd2", "hash.psd4"):
+        from snarkos_tpu.crypto.ref import poseidon as ref_poseidon
+
         v = _operand(frame, ctx, ins.operands[0])
-        h = _hash_to_field(op.encode() + b"\x00" + _hash_input_bytes(v))
+        rate = 2 if op.endswith("2") else 4
+        h = ref_poseidon.hash1(_value_to_fields(v), rate=rate,
+                               domain=f"snarkos_tpu.vm.{op}")
+        frame.set(ins.dests[0], Value("field", h))
+    elif op == "hash.bhp256":
+        from snarkos_tpu.crypto.ref import bhp as ref_bhp
+
+        v = _operand(frame, ctx, ins.operands[0])
+        h = ref_bhp.hash_bytes(V.format_value(v).encode(),
+                               domain="snarkos_tpu.vm.hash.bhp256") % V.FIELD_P
         frame.set(ins.dests[0], Value("field", h))
     elif op == "commit.bhp256":
+        from snarkos_tpu.crypto.ref import bhp as ref_bhp
+
         v = _operand(frame, ctx, ins.operands[0])
         salt = _operand(frame, ctx, ins.operands[1])
         if salt.ty != "scalar":
             raise HaltError("commit salt must be scalar")
-        h = _hash_to_field(b"commit.bhp256\x00" + _hash_input_bytes(v)
-                           + b"\x00" + str(salt.val).encode())
+        data = V.format_value(v).encode() + b"\x00" + str(salt.val).encode()
+        h = ref_bhp.hash_bytes(data,
+                               domain="snarkos_tpu.vm.commit.bhp256") % V.FIELD_P
         frame.set(ins.dests[0], Value("field", h))
     elif op == "call":
         name = ins.operands[0]
