@@ -378,6 +378,21 @@ def main(argv=None):
                                     print(f"   owned record: {plain!r}")
                             except (ValueError, KeyError):
                                 continue
+                        # VM-sealed record outputs at this height
+                        try:
+                            with urllib.request.urlopen(
+                                f"{args.endpoint.rstrip('/')}/records/{h}",
+                                timeout=10,
+                            ) as r2:
+                                for blob_hex in _json.loads(r2.read()):
+                                    try:
+                                        blob = bytes.fromhex(blob_hex)
+                                        plain = records.decrypt(view_sk, blob[7:])
+                                        print(f"   owned record: {plain!r}")
+                                    except ValueError:
+                                        continue
+                        except Exception:
+                            pass
                 except Exception as exc:
                     print(f"{h}: <unavailable: {exc}>")
                     break

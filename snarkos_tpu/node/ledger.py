@@ -162,6 +162,12 @@ class Ledger:
         self.parsed_programs: dict[str, object] = {}  # id -> vm.Program
         self.mappings: dict[tuple[str, str], dict[str, str]] = {}
         self.aborted_tx_ids: set[bytes] = set()  # failed execute/finalize
+        # private records: sealed outputs per height + spend tags of
+        # consumed record inputs (snarkVM records capability; the spend
+        # proof-in-circuit is the Varuna layer's job — here the plaintext
+        # rides the payload and the serial blocks replays)
+        self.record_ciphertexts: dict[int, list[bytes]] = {}
+        self.spent_serials: set[bytes] = set()
         self.lock = threading.RLock()
         self._load_or_init()
 
@@ -267,12 +273,34 @@ class Ledger:
                     raise avm.HaltError(f"unknown function {fn_name!r}")
                 if len(args_toks) != len(fn.inputs):
                     raise avm.HaltError("input arity mismatch")
-                args = [avm.parse_typed(t, ty)
-                        for t, (_, ty, _) in zip(args_toks, fn.inputs)]
+                args, serials = [], []
+                for t, (_, ty, _) in zip(args_toks, fn.inputs):
+                    if ty in prog.records:
+                        if not t.startswith("record:"):
+                            raise avm.HaltError("record input must be record:<hex>")
+                        from snarkos_tpu.vm.values import Value as VmValue
+
+                        text = bytes.fromhex(t[len("record:"):]).decode()
+                        members = avm.parse_plaintext(
+                            text, prog.records[ty].members)
+                        val = VmValue(ty, members)
+                        serial = avm.record_serial(prog.id, ty, val)
+                        if serial in self.spent_serials:
+                            raise avm.HaltError("record already spent")
+                        serials.append(serial)
+                        args.append(val)
+                    else:
+                        args.append(avm.parse_typed(t, ty))
                 result = avm.execute_function(prog, fn_name, args, ctx)
                 if result.finalize is not None:
                     store = avm.MappingStore(self.mappings)
                     avm.execute_finalize(prog, result.finalize, store, ctx)
+                self.spent_serials.update(serials)
+                for out in result.outputs:
+                    if out.ty in prog.records:
+                        sealed = avm.seal_record(prog.id, out.ty, out)
+                        self.record_ciphertexts.setdefault(
+                            block_height, []).append(sealed)
             except avm.HaltError:
                 self.aborted_tx_ids.add(tx.id.digest)
         elif not tx.is_deploy and payload.startswith(b"call "):

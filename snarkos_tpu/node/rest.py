@@ -404,6 +404,16 @@ class Rest:
                 if val is None:
                     return 404, {"error": "no such mapping entry"}
                 return 200, val
+            case ["records", height_s]:
+                # sealed record ciphertexts produced at a height (the
+                # capability analogue of the reference's record scanning
+                # over blocks; cli developer scan consumes this)
+                try:
+                    h = int(height_s)
+                except ValueError:
+                    return 400, {"error": "bad height"}
+                blobs = getattr(ledger, "record_ciphertexts", {}).get(h, [])
+                return 200, [b.hex() for b in blobs]
             case ["delegators", address]:
                 c = ledger.committee
                 for a, stake, is_open in c.members:

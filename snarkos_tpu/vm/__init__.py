@@ -9,7 +9,9 @@ lists, and finalize blocks apply atomic mapping transitions on commit.
 
 from snarkos_tpu.vm.interpreter import (ExecContext, ExecuteResult,
                                         FinalizeCall, MappingStore,
-                                        execute_finalize, execute_function)
+                                        execute_finalize, execute_function,
+                                        open_record, parse_plaintext,
+                                        record_serial, seal_record)
 from snarkos_tpu.vm.program import ParseError, Program, parse_program
 from snarkos_tpu.vm.values import (HaltError, Value, format_value,
                                    parse_literal, parse_typed)

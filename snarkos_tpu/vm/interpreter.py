@@ -176,8 +176,14 @@ def _run_instruction(ins, frame: _Frame, ctx: ExecContext):
             raise HaltError(f"{op} failed: {a} vs {b}")
     elif op in ("cast", "cast.lossy"):
         ty = ins.as_type
-        if ty in ctx.program.structs:
-            st = ctx.program.structs[ty]
+        base = ty.split(".")[0]
+        composite = None
+        if base in ctx.program.structs:
+            composite = ctx.program.structs[base]
+        elif base in ctx.program.records and ty.endswith(".record"):
+            composite = ctx.program.records[base]
+        if composite is not None:
+            st = composite
             if len(ins.operands) != len(st.members):
                 raise HaltError(f"cast to {ty}: wrong member count")
             members = {}
@@ -186,7 +192,7 @@ def _run_instruction(ins, frame: _Frame, ctx: ExecContext):
                 if v.ty != mty:
                     raise HaltError(f"cast member {name}: {v.ty} != {mty}")
                 members[name] = v
-            frame.set(ins.dests[0], Value(ty, members))
+            frame.set(ins.dests[0], Value(base, members))
         else:
             if len(ins.operands) != 1:
                 raise HaltError("cast expects one operand")
@@ -273,6 +279,75 @@ def execute_function(program: Program, fn_name: str, args, ctx: ExecContext
         fin = FinalizeCall(program_id=program.id, function=fn.finalize_name,
                            args=fin_args)
     return ExecuteResult(outputs=outputs, finalize=fin)
+
+
+# -- records (private state; crypto/ref/records.py ECIES) --------------------
+
+
+def parse_plaintext(text: str, members: dict) -> dict:
+    """Parse a formatted FLAT composite value ``{ a: 1u64, b: aleo1... }``
+    against a member spec (record or struct) -> member dict. Inverse of
+    format_value for flat composites (nested composites unsupported)."""
+    text = text.strip()
+    if not (text.startswith("{") and text.endswith("}")):
+        raise HaltError(f"bad composite literal: {text[:40]!r}")
+    inner = text[1:-1].strip()
+    parts = [p.strip() for p in inner.split(",") if p.strip()]
+    if len(parts) != len(members):
+        raise HaltError("composite member count mismatch")
+    out = {}
+    for part, (name, ty) in zip(parts, members.items()):
+        key, _, val = part.partition(":")
+        if key.strip() != name:
+            raise HaltError(f"expected member {name!r}, got {key.strip()!r}")
+        out[name] = V.parse_typed(val.strip(), ty)
+    return out
+
+
+def record_plaintext(v: Value) -> bytes:
+    return V.format_value(v).encode()
+
+
+def record_serial(program_id: str, record_name: str, v: Value) -> bytes:
+    """Deterministic spend tag: consuming the same record plaintext twice
+    is detectable ledger-side (the capability analogue of snarkVM serial
+    numbers; derivation-in-circuit requires the proof layer)."""
+    return hashlib.sha256(
+        b"snarkos_tpu.record.serial\x00" + program_id.encode() + b"/"
+        + record_name.encode() + b"\x00" + record_plaintext(v)).digest()
+
+
+def seal_record(program_id: str, record_name: str, v: Value) -> bytes:
+    """ECIES-encrypt a record value to its owner -> b'record1' + blob."""
+    from snarkos_tpu.crypto.ref import records as ref_records
+    from snarkos_tpu.node.types import address_to_point
+
+    owner = v.val.get("owner")
+    if owner is None or owner.ty != "address":
+        raise HaltError("record has no address owner")
+    try:
+        pk = address_to_point(owner.val)
+    except (ValueError, AssertionError) as exc:
+        raise HaltError(f"record owner is not a valid address: {exc}") from None
+    body = (program_id + "/" + record_name + "\x00").encode() + record_plaintext(v)
+    return b"record1" + ref_records.encrypt(pk, body)
+
+
+def open_record(sk: int, blob: bytes, program: Program):
+    """Decrypt a sealed record with the owner's view scalar -> (record
+    name, Value). Raises ValueError if not the owner."""
+    from snarkos_tpu.crypto.ref import records as ref_records
+
+    if not blob.startswith(b"record1"):
+        raise ValueError("not a record blob")
+    body = ref_records.decrypt(sk, blob[len(b"record1"):])
+    head, _, plain = body.partition(b"\x00")
+    pid, _, rname = head.decode().partition("/")
+    rec = program.records.get(rname)
+    if pid != program.id or rec is None:
+        raise ValueError(f"record {rname!r} not of program {program.id!r}")
+    members = parse_plaintext(plain.decode(), rec.members)
+    return rname, Value(rname, members)
 
 
 class _Buffered(MappingStore):

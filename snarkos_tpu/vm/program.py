@@ -9,6 +9,9 @@ same surface grammar for the supported subset:
     program <id>.aleo;
     struct <name>:            # plaintext struct
         <member> as <type>;
+    record <name>:            # private record (sealed to owner on commit)
+        owner as address.private;
+        <member> as <type>.<visibility>;
     mapping <name>:
         key as <type>.public;
         value as <type>.public;
@@ -25,7 +28,7 @@ same surface grammar for the supported subset:
         input r0 as <type>.public;
         <instructions + mapping ops + branch/position>
 
-Unsupported snarkVM features (records, imports/cross-program calls,
+Unsupported snarkVM features (imports/cross-program calls,
 signatures-in-programs) are rejected with a clear ParseError rather than
 silently accepted.
 """
@@ -89,6 +92,16 @@ class Struct:
 
 
 @dataclass
+class Record:
+    """Private-state record type: first member must be ``owner`` as
+    address. Record outputs are sealed (ECIES-encrypted to the owner,
+    crypto/ref/records.py) when the transaction commits."""
+
+    name: str
+    members: dict  # name -> type ('owner' first, type 'address')
+
+
+@dataclass
 class Function:
     name: str
     inputs: list            # [(register, type, visibility)]
@@ -117,6 +130,7 @@ class Closure:
 class Program:
     id: str
     structs: dict = field(default_factory=dict)
+    records: dict = field(default_factory=dict)
     mappings: dict = field(default_factory=dict)
     closures: dict = field(default_factory=dict)
     functions: dict = field(default_factory=dict)
@@ -130,7 +144,8 @@ def _strip(line: str) -> str:
 
 def _check_type(ty: str, program: "Program"):
     base = ty.split(".")[0]
-    if base not in LITERAL_TYPES and base not in program.structs:
+    if (base not in LITERAL_TYPES and base not in program.structs
+            and base not in program.records):
         raise ParseError(f"unknown type {ty!r}")
 
 
@@ -228,10 +243,9 @@ def parse_program(source: str) -> Program:
     lines = [(i + 1, l) for i, l in enumerate(lines) if l]
     if not lines:
         raise ParseError("empty program")
-    for kw in ("import", "record "):
-        for no, l in lines:
-            if l.startswith(kw):
-                raise ParseError(f"line {no}: {kw.strip()!r} not supported")
+    for no, l in lines:
+        if l.startswith("import"):
+            raise ParseError(f"line {no}: 'import' not supported")
 
     no, head = lines[0]
     if not head.startswith("program "):
@@ -245,7 +259,11 @@ def parse_program(source: str) -> Program:
     kind = None
     for no, line in lines[1:]:
         try:
-            if line.startswith("struct "):
+            if line.startswith("record "):
+                ctx = Record(name=line.split()[1].rstrip(":"), members={})
+                prog.records[ctx.name] = ctx
+                kind = "record"
+            elif line.startswith("struct "):
                 ctx = Struct(name=line.split()[1].rstrip(":"), members={})
                 prog.structs[ctx.name] = ctx
                 kind = "struct"
@@ -275,6 +293,18 @@ def parse_program(source: str) -> Program:
                     raise ParseError(f"bad struct member: {line!r}")
                 _check_type(m.group(2), prog)
                 ctx.members[m.group(1)] = m.group(2)
+            elif kind == "record":
+                m = re.match(
+                    r"^([a-z][a-z0-9_]*) as ([a-z0-9_]+)(\.(public|private))?$",
+                    line)
+                if not m:
+                    raise ParseError(f"bad record member: {line!r}")
+                _check_type(m.group(2), prog)
+                if not ctx.members and (m.group(1) != "owner"
+                                        or m.group(2) != "address"):
+                    raise ParseError(
+                        "record's first member must be 'owner as address'")
+                ctx.members[m.group(1)] = m.group(2)
             elif kind == "mapping":
                 m = re.match(r"^(key|value) as ([a-z0-9_]+)\.public$", line)
                 if not m:
@@ -286,7 +316,7 @@ def parse_program(source: str) -> Program:
                     ctx.value_type = m.group(2)
             elif line.startswith("input "):
                 m = re.match(
-                    r"^input (r\d+) as ([a-z0-9_]+)(\.(public|private))?$", line)
+                    r"^input (r\d+) as ([a-z0-9_]+)(\.(public|private|record))?$", line)
                 if not m:
                     raise ParseError(f"bad input: {line!r}")
                 _check_type(m.group(2), prog)
@@ -298,7 +328,7 @@ def parse_program(source: str) -> Program:
                     raise ParseError("input outside block")
             elif line.startswith("output "):
                 m = re.match(
-                    r"^output (\S+) as ([a-z0-9_./]+?)(\.(public|private|future))?$",
+                    r"^output (\S+) as ([a-z0-9_./]+?)(\.(public|private|future|record))?$",
                     line)
                 if not m or kind not in ("function", "closure"):
                     raise ParseError(f"bad output: {line!r}")

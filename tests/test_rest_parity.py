@@ -207,3 +207,51 @@ async def test_new_route_shapes(monkeypatch):
         assert (status, out) == (200, transition)
     finally:
         rest.server.close()
+
+
+@pytest.mark.asyncio
+async def test_records_route(monkeypatch):
+    """GET /{n}/records/{height}: sealed VM record ciphertexts, decryptable
+    only by the owner (record-scanning capability surface)."""
+    from snarkos_tpu.crypto.ref import edwards, records as ref_records
+    from snarkos_tpu.node import rest as rest_mod
+    from snarkos_tpu.node.rest import Rest
+    from tests.test_vm import PTOKEN
+
+    monkeypatch.setattr(rest_mod, "RATE_LIMIT_PER_S", 10_000)
+    committee = dev_committee(1)
+    ledger = Ledger(committee)
+    ledger._apply_program_ops(create_transaction(PTOKEN.encode(), is_deploy=True), 1)
+    acct = edwards.Account.new(seed=b"\x0a" * 32)
+    owner = point_to_address(acct.pk)
+    ledger._apply_program_ops(create_transaction(
+        f"execute ptoken.aleo/mint_private {owner} {owner} 33u64".encode()), 2)
+
+    class FakeRouter:
+        peers = {}
+
+        def number_of_connected_peers(self):
+            return 0
+
+    class FakeNode:
+        account = _AV(dev_account(0))
+        router = FakeRouter()
+        consensus = None
+        ledger_service = MockLedgerService(committee)
+
+    node = FakeNode()
+    node.ledger = ledger
+    rest = Rest(node, port=0)
+    rest.server = await asyncio.start_server(rest._handle, "127.0.0.1", 0)
+    port = rest.server.sockets[0].getsockname()[1]
+    try:
+        status, out = await _http(port, "GET", "/testnet/records/2")
+        assert status == 200 and len(out) == 1
+        blob = bytes.fromhex(out[0])
+        plain = ref_records.decrypt(acct.sk, blob[len(b"record1"):])
+        assert b"33u64" in plain
+        status, out = await _http(port, "GET", "/testnet/records/99")
+        assert (status, out) == (200, [])
+    finally:
+        rest.server.close()
+        await rest.server.wait_closed()

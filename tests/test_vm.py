@@ -326,3 +326,105 @@ def test_genesis_quorum_state():
         f"execute credits.aleo/bond_public {a0} 7u64".encode())
     ledger._apply_program_ops(tx2, block_height=2)
     assert ledger.get_mapping_value("credits.aleo", "bonded", a0) == "107u64"
+
+
+PTOKEN = """\
+program ptoken.aleo;
+
+record coin:
+    owner as address.private;
+    amount as u64.private;
+
+function mint_private:
+    input r0 as address.private;
+    input r1 as u64.private;
+    cast r0 r1 into r2 as coin.record;
+    output r2 as coin.record;
+
+function transfer_private:
+    input r0 as coin.record;
+    input r1 as address.private;
+    input r2 as u64.private;
+    sub r0.amount r2 into r3;
+    cast r0.owner r3 into r4 as coin.record;
+    cast r1 r2 into r5 as coin.record;
+    output r4 as coin.record;
+    output r5 as coin.record;
+"""
+
+
+def test_records_mint_transfer_seal_open():
+    from snarkos_tpu.crypto.ref import edwards
+    from snarkos_tpu.node.types import point_to_address
+
+    prog = avm.parse_program(PTOKEN)
+    assert list(prog.records["coin"].members) == ["owner", "amount"]
+    acct = edwards.Account.new(seed=b"\x05" * 32)
+    owner = point_to_address(acct.pk)
+    ctx = ExecContext(program=prog, caller=owner)
+    res = avm.execute_function(
+        prog, "mint_private", [Value("address", owner), Value("u64", 90)], ctx)
+    (rec,) = res.outputs
+    assert rec.ty == "coin" and rec.val["amount"].val == 90
+
+    sealed = avm.seal_record(prog.id, "coin", rec)
+    assert sealed.startswith(b"record1")
+    # only the owner opens it
+    name, opened = avm.open_record(acct.sk, sealed, prog)
+    assert name == "coin" and opened.val["amount"].val == 90
+    other = edwards.Account.new(seed=b"\x06" * 32)
+    with pytest.raises(ValueError):
+        avm.open_record(other.sk, sealed, prog)
+
+    # spend: transfer 30 to bob -> change record + new record
+    res2 = avm.execute_function(
+        prog, "transfer_private",
+        [opened, Value("address", BOB), Value("u64", 30)], ctx)
+    change, out = res2.outputs
+    assert change.val["amount"].val == 60 and change.val["owner"].val == owner
+    assert out.val["amount"].val == 30 and out.val["owner"].val == BOB
+    # overdraw halts
+    with pytest.raises(HaltError):
+        avm.execute_function(
+            prog, "transfer_private",
+            [opened, Value("address", BOB), Value("u64", 1000)], ctx)
+
+
+def test_records_ledger_spend_and_double_spend():
+    from snarkos_tpu.crypto.ref import edwards
+    from snarkos_tpu.node.cli import dev_committee
+    from snarkos_tpu.node.ledger import Ledger, create_transaction
+    from snarkos_tpu.node.types import point_to_address
+    from snarkos_tpu.vm.values import format_value
+
+    committee = dev_committee(2)
+    ledger = Ledger(committee)
+    ledger._apply_program_ops(
+        create_transaction(PTOKEN.encode(), is_deploy=True), 1)
+    acct = edwards.Account.new(seed=b"\x07" * 32)
+    owner = point_to_address(acct.pk)
+    bob = point_to_address(edwards.Account.new(seed=b"\x08" * 32).pk)
+
+    mint = create_transaction(
+        f"execute ptoken.aleo/mint_private {owner} {owner} 50u64".encode())
+    ledger._apply_program_ops(mint, 2)
+    blobs = ledger.record_ciphertexts.get(2, [])
+    assert len(blobs) == 1
+    prog = ledger.parsed_programs["ptoken.aleo"]
+    from snarkos_tpu import vm as avm2
+
+    _, rec = avm2.open_record(acct.sk, blobs[0], prog)
+
+    rec_hex = format_value(rec).encode().hex()
+    spend = create_transaction(
+        f"execute ptoken.aleo/transfer_private {owner} record:{rec_hex} {bob} 20u64".encode())
+    ledger._apply_program_ops(spend, 3)
+    assert spend.id.digest not in ledger.aborted_tx_ids
+    assert len(ledger.record_ciphertexts.get(3, [])) == 2  # change + output
+
+    # replaying the same record input is a double spend -> aborted
+    spend2 = create_transaction(
+        f"execute ptoken.aleo/transfer_private {owner} record:{rec_hex} {bob} 5u64".encode())
+    ledger._apply_program_ops(spend2, 4)
+    assert spend2.id.digest in ledger.aborted_tx_ids
+    assert not ledger.record_ciphertexts.get(4)
