@@ -54,7 +54,11 @@ def _add_start_args(p: argparse.ArgumentParser):
                    help="skip block verification (devnet)")
     p.add_argument("--dev-txs", action="store_true", help="generate dev transactions")
     p.add_argument("--puzzle-log-degree", type=int, default=None)
-    p.add_argument("--verbosity", type=int, default=1)
+    p.add_argument("--verbosity", type=int, default=1,
+                   help="0-6: deeper layers log debug as it grows "
+                        "(consensus, bft, gateway, router, sync, tcp)")
+    p.add_argument("--logfile", default=None,
+                   help="append log sink alongside stdout")
     p.add_argument("--cdn", default=None,
                    help="CDN base URL for ledger bootstrap (disabled in --dev mode)")
     p.add_argument("--metrics", action="store_true", help="serve Prometheus metrics")
@@ -80,15 +84,59 @@ def _parse_peer_list(s: str) -> tuple:
     return tuple(out)
 
 
+def _check_resources(is_validator: bool) -> None:
+    """Startup resource checks (start.rs:53-54,576-582 equivalents):
+    raise the fd soft limit toward 2048 and warn on low-spec validators."""
+    try:
+        import resource
+
+        soft, hard = resource.getrlimit(resource.RLIMIT_NOFILE)
+        if soft < 2048:
+            try:
+                resource.setrlimit(resource.RLIMIT_NOFILE,
+                                   (min(2048, hard), hard))
+            except (ValueError, OSError):
+                print(f"warning: open-files limit is {soft} (< 2048); "
+                      "raise `ulimit -n` for a busy node", file=sys.stderr)
+    except ImportError:
+        pass
+    if is_validator:
+        cores = os.cpu_count() or 1
+        if cores < 4:
+            print(f"warning: {cores} cores detected; the reference "
+                  "validator spec calls for far more (README.md:52-67)",
+                  file=sys.stderr)
+
+
+def _setup_logging(verbosity: int, logfile: str | None) -> None:
+    """Verbosity 0-6 maps to per-layer levels like the reference's
+    per-crate trace directives (cli/src/helpers/logger.rs:32-165):
+    higher verbosity turns on debug for deeper layers
+    (consensus/bft -> gateway -> router -> sync -> tcp). Dual sinks:
+    stdout plus an optional append logfile."""
+    handlers: list = [logging.StreamHandler()]
+    if logfile:
+        os.makedirs(os.path.dirname(logfile) or ".", exist_ok=True)
+        handlers.append(logging.FileHandler(logfile))
+    base = {0: logging.ERROR, 1: logging.INFO}.get(verbosity, logging.INFO)
+    logging.basicConfig(level=base, handlers=handlers,
+                        format="%(asctime)s %(levelname).1s %(name)s: %(message)s")
+    layer_order = [
+        "snarkos_tpu.node.consensus", "snarkos_tpu.node.bft",
+        "snarkos_tpu.node.gateway", "snarkos_tpu.node.router",
+        "snarkos_tpu.node.block_sync", "snarkos_tpu.node.tcp",
+    ]
+    for i, name in enumerate(layer_order):
+        if verbosity >= i + 2:
+            logging.getLogger(name).setLevel(logging.DEBUG)
+
+
 async def _run_start(args) -> None:
     from snarkos_tpu.node.roles import Client, Prover, Validator
     from snarkos_tpu.node.ledger import make_genesis
 
-    verb_levels = {0: logging.ERROR, 1: logging.INFO, 2: logging.DEBUG}
-    logging.basicConfig(
-        level=verb_levels.get(args.verbosity, logging.DEBUG),
-        format="%(asctime)s %(levelname).1s %(name)s: %(message)s",
-    )
+    _setup_logging(args.verbosity, args.logfile)
+    _check_resources(is_validator=not (args.client or args.prover))
 
     committee = dev_committee(args.dev_num_validators)
     if args.dev is not None:
