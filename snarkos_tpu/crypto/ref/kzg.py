@@ -47,12 +47,15 @@ _SRS_AFFINE_CACHE: dict = {}
 
 
 def _srs_affine(srs: SRS):
-    """Affine powers for the native engine, cached per SRS identity."""
+    """Affine powers for the native engine, cached per SRS identity
+    (several SRS objects coexist: the puzzle SRS and the trimmed Varuna
+    committer key — keep a small multi-entry cache, never thrash)."""
     key = id(srs)
     cached = _SRS_AFFINE_CACHE.get(key)
     if cached is None or len(cached) < len(srs.powers_g1):
         cached = [g1.affine(p) for p in srs.powers_g1]
-        _SRS_AFFINE_CACHE.clear()  # one SRS per process in practice
+        if len(_SRS_AFFINE_CACHE) > 4:
+            _SRS_AFFINE_CACHE.clear()
         _SRS_AFFINE_CACHE[key] = cached
     return cached
 

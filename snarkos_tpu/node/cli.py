@@ -272,7 +272,11 @@ def main(argv=None):
     p_exec.add_argument("--inputs", default="",
                         help="space-separated typed literals, e.g. '5u64 true'")
     p_exec.add_argument("--caller", default=None,
-                        help="caller address for self.caller (defaults to zero)")
+                        help="caller address for self.caller (defaults to zero; "
+                             "non-zero callers require --seed to sign)")
+    p_exec.add_argument("--seed", default=None,
+                        help="account seed: signs the caller binding so "
+                             "self.caller is authenticated on-chain")
     p_exec.add_argument("--fee", type=int, default=0)
     p_exec.add_argument("--broadcast", default=None,
                         help="REST base url, e.g. http://127.0.0.1:3030/testnet")
@@ -368,13 +372,19 @@ def main(argv=None):
         if args.dev_command in ("execute", "deploy"):
             from snarkos_tpu.node.ledger import create_transaction
 
+            account = None
+            if args.dev_command == "execute" and getattr(args, "seed", None):
+                account = edwards.Account.new(
+                    seed=hashlib.sha256(args.seed.encode()).digest())
             if args.dev_command == "execute" and getattr(args, "program", None):
                 if not args.function:
                     print("--function is required with --program")
                     return 1
                 parts = [f"execute {args.program}/{args.function}"]
-                if args.caller:
-                    parts.append(args.caller)
+                if args.caller and account is None:
+                    print("warning: --caller without --seed produces an "
+                          "unsigned caller; the execution will abort on-chain")
+                    parts.append(f"caller:{args.caller}")
                 if args.inputs:
                     parts.append(args.inputs)
                 payload = " ".join(parts).encode()
@@ -386,7 +396,8 @@ def main(argv=None):
             if args.dev_command == "deploy" and getattr(args, "program_id", None):
                 payload = f"program {args.program_id}\n".encode() + payload
             tx = create_transaction(payload, fee=args.fee,
-                                    is_deploy=args.dev_command == "deploy")
+                                    is_deploy=args.dev_command == "deploy",
+                                    account=account)
             print(f"transaction id: {tx.id.digest.hex()}")
             if args.broadcast:
                 req = urllib.request.Request(

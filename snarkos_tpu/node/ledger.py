@@ -38,6 +38,51 @@ TX_CHALLENGE_DOMAIN = "snarkos_tpu.transaction.challenge"
 
 MAX_SOLUTIONS_PER_BLOCK = 4
 
+# Dynamic committee (reference: committees derive from on-chain bonding with
+# per-round lookback — ledger-service/src/ledger.rs:156-198, snarkVM
+# Committee::COMMITTEE_LOOKBACK_RANGE). The lookback keeps every validator's
+# view of "the committee for round r" stable while bonding transactions land.
+COMMITTEE_LOOKBACK_RANGE = 100
+# minimum bonded stake to enter the committee (reference MIN_VALIDATOR_STAKE
+# is 1M credits; scaled to this build's dev-genesis stake unit)
+MIN_VALIDATOR_STAKE = 100
+
+# the all-zero address: the unauthenticated default caller (no private key
+# exists for it, so it can never control funds or bonded state)
+ZERO_ADDRESS = "aleo1" + "0" * 64
+CALLER_AUTH_DOMAIN = b"snarkos_tpu.caller.auth"
+
+
+def caller_auth_message(payload_without_sig: bytes, fee: int) -> bytes:
+    """The bytes a caller signs to authorize an execute payload: the full
+    payload with its own sig token removed, bound to the fee."""
+    return CALLER_AUTH_DOMAIN + fee.to_bytes(8, "little") + payload_without_sig
+
+
+def _check_caller_auth(tx: "Transaction", caller: str, sig_tok: str | None) -> None:
+    """Verify the caller's Schnorr signature over (payload minus sig token,
+    fee). The reference binds the caller via the execution authorization
+    inside the proof (snarkVM); an unauthenticated caller token would let
+    any party debit arbitrary accounts (r2 advisory, high). Raises
+    vm.HaltError (aborting the transaction's state transition) on failure."""
+    from snarkos_tpu import vm as avm
+    from snarkos_tpu.crypto.ref import edwards
+    from snarkos_tpu.node.types import address_to_point
+
+    if not sig_tok:
+        raise avm.HaltError("missing caller signature")
+    raw = sig_tok[len("sig:"):]
+    try:
+        sig = (int(raw[:64], 16), int(raw[64:128], 16))
+        if len(raw) != 128:
+            raise ValueError("bad signature length")
+        pk = address_to_point(caller)
+    except Exception:
+        raise avm.HaltError("malformed caller signature") from None
+    unsigned = tx.payload.replace((" " + sig_tok).encode(), b"", 1)
+    if not edwards.verify_bytes(pk, caller_auth_message(unsigned, tx.fee), sig):
+        raise avm.HaltError("caller signature verification failed")
+
 # -- genesis quorum synthesis -------------------------------------------------
 # The reference synthesizes a dev genesis with vm.genesis_quorum
 # (cli/src/commands/start.rs:764-767): a block carrying the credits program
@@ -147,6 +192,10 @@ class Ledger:
 
     def __init__(self, committee: Committee, storage_path: Optional[str] = None):
         self.committee = committee
+        # committee history [(starting_round, Committee)] ascending: entry i
+        # governs rounds starting_round_i .. starting_round_{i+1}-1. Rebuilt
+        # deterministically from the chain (bonding state) on load/replay.
+        self.committee_history: list[tuple[int, Committee]] = [(0, committee)]
         self.storage_path = storage_path
         self.blocks: list[Block] = []
         self.block_index: dict[bytes, int] = {}
@@ -211,6 +260,63 @@ class Ledger:
                 self.committed_cert_ids.add(cert.id)
         if block.height == 0:
             self._apply_genesis_ratifications()
+        self._update_committee_from_state(block)
+
+    def _update_committee_from_state(self, block: Block) -> None:
+        """Derive the committee from the credits.aleo bonding mappings after
+        each committed block (reference: committees come from on-chain
+        bonding, updated at block boundaries; ledger-service/src/ledger.rs
+        get_committee_for_round reads them back per starting round).
+
+        Membership = bonded stake >= MIN_VALIDATOR_STAKE, capped at
+        MAX_COMMITTEE_SIZE by stake. A change appends a new committee
+        STARTING AT block.round + 1 (it can never retroactively govern
+        rounds at or before the block that introduced it)."""
+        bonded = self.mappings.get(("credits.aleo", "bonded"), {})
+        members: dict[str, int] = {}
+        for addr, v in bonded.items():
+            try:
+                stake = int(v.removesuffix("u64"))
+            except ValueError:
+                continue
+            if stake >= MIN_VALIDATOR_STAKE:
+                members[addr] = stake
+        if not members:
+            return  # a committee can never become empty; keep the last one
+        if len(members) > Committee.MAX_COMMITTEE_SIZE:
+            top = sorted(members.items(), key=lambda kv: (-kv[1], kv[0]))
+            members = dict(top[: Committee.MAX_COMMITTEE_SIZE])
+        # reflect derived membership in the on-chain committee mapping
+        cmap = self.mappings.setdefault(("credits.aleo", "committee"), {})
+        for addr in list(cmap):
+            if addr not in members:
+                cmap[addr] = "false"
+        for addr in members:
+            cmap[addr] = "true"
+        current = {a: s for a, s, _ in self.committee.members}
+        if members == current:
+            return
+        starting = max(block.round + 1, self.committee_history[-1][0] + 1)
+        new = Committee.new(starting, members)
+        self.committee_history.append((starting, new))
+        self.committee = new
+
+    def committee_for_round(self, round_: int) -> Committee:
+        """The committee governing ``round_``: the last history entry whose
+        starting round is <= round_ (ledger.rs get_committee_for_round)."""
+        import bisect
+
+        idx = bisect.bisect_right(self.committee_history, round_,
+                                  key=lambda e: e[0]) - 1
+        return self.committee_history[max(idx, 0)][1]
+
+    def committee_lookback_for_round(self, round_: int) -> Committee:
+        """Reference lookback semantics (ledger.rs:185-198): committees are
+        updated in even rounds, so look back from round-1 (even) / round-2
+        (odd), then a further COMMITTEE_LOOKBACK_RANGE rounds."""
+        previous = round_ - 1 if round_ % 2 == 0 else round_ - 2
+        lookback = max(previous - COMMITTEE_LOOKBACK_RANGE, 0)
+        return self.committee_for_round(lookback)
 
     def _apply_genesis_ratifications(self) -> None:
         """Block-0 bonding state (the reference's genesis ratifications,
@@ -228,7 +334,9 @@ class Ledger:
 
         Deploys carrying a well-formed Aleo-instructions source are parsed
         and registered for execution (snarkos_tpu/vm); executes of the form
-        ``execute <program>/<function> [caller] [args...]`` run the function
+        ``execute <program>/<function> [caller:<addr> sig:<hex>] [args...]``
+        (signature REQUIRED for non-zero callers — see _check_caller_auth;
+        build with create_transaction(account=...)) run the function
         and its finalize block against the mapping store — a halt aborts the
         transaction's state transition (recorded in aborted_tx_ids) without
         rejecting the block, mirroring the reference's aborted-transaction
@@ -261,13 +369,26 @@ class Ledger:
             if prog is None or not fn_name:
                 return
             args_toks = toks[1:]
-            caller = "aleo1" + "0" * 64
-            if args_toks and args_toks[0].startswith("aleo1"):
-                caller, args_toks = args_toks[0], args_toks[1:]
+            # the caller is a DISTINCT `caller:<addr>` token (never inferred
+            # from a bare address argument — r2 advisory: ambiguous and
+            # unauthenticated), optionally followed by its `sig:<hex>` token
+            caller = ZERO_ADDRESS
+            sig_tok = None
+            if args_toks and args_toks[0].startswith("caller:"):
+                caller = args_toks[0][len("caller:"):]
+                args_toks = args_toks[1:]
+                if args_toks and args_toks[0].startswith("sig:"):
+                    sig_tok, args_toks = args_toks[0], args_toks[1:]
             ctx = avm.ExecContext(program=prog, caller=caller,
                                   block_height=block_height,
                                   tx_seed=tx.id.digest)
             try:
+                # a non-zero caller must prove control of the address: the
+                # reference binds the caller cryptographically inside the
+                # execution authorization (snarkVM); here the equivalent is
+                # a Schnorr signature over (payload minus sig token, fee)
+                if caller != ZERO_ADDRESS:
+                    _check_caller_auth(tx, caller, sig_tok)
                 fn = prog.functions.get(fn_name)
                 if fn is None:
                     raise avm.HaltError(f"unknown function {fn_name!r}")
@@ -285,7 +406,9 @@ class Ledger:
                             text, prog.records[ty].members)
                         val = VmValue(ty, members)
                         serial = avm.record_serial(prog.id, ty, val)
-                        if serial in self.spent_serials:
+                        if serial in self.spent_serials or serial in serials:
+                            # covers both previously-committed spends AND the
+                            # same record passed twice in ONE transaction
                             raise avm.HaltError("record already spent")
                         serials.append(serial)
                         args.append(val)
@@ -434,11 +557,12 @@ class Ledger:
                 opening = self._solution_opening_for(obj, block)
                 if opening is None:
                     raise ValueError("invalid solution in block")
+                openings.append(opening)
             else:
-                opening = transaction_opening(obj)
-                if opening is None:
+                tx_openings = transaction_opening(obj)  # [beta, delta] pair
+                if tx_openings is None:
                     raise ValueError("invalid transaction in block")
-            openings.append(opening)
+                openings.extend(tx_openings)
         if openings and not kzg_ops.batch_verify(global_puzzle().srs.srs_ref, openings):
             # pinpoint the offender for the error message (rare path)
             srs = global_puzzle().srs.srs_ref
@@ -456,13 +580,16 @@ class Ledger:
         if block.round != sub.anchor_round:
             raise ValueError("block round != anchor round")
         leader_cert = sub.leader_certificate
-        committee = self.committee
+        # per-round lookback committees (a block near a committee boundary
+        # carries certificates signed under the OLD committee)
+        committee = self.committee_lookback_for_round(sub.anchor_round)
         expected_leader = committee.get_leader(sub.anchor_round)
         if leader_cert.author != expected_leader:
             raise ValueError("wrong leader certificate")
-        for _, certs in sub.rounds:
+        for round_, certs in sub.rounds:
+            round_committee = self.committee_lookback_for_round(round_)
             for cert in certs:
-                if not cert.verify(committee):
+                if not cert.verify(round_committee):
                     raise ValueError("invalid certificate in subdag")
 
     def _verify_solution_for(self, sol: Solution, block: Block) -> bool:
@@ -518,21 +645,29 @@ _VARUNA_CTX = None
 
 def global_varuna():
     """Process-wide (circuit, key-var, SRS) for the authorization relation.
-    Shares the puzzle SRS so block-level batch verification can combine
-    solution and transaction pairings into ONE multi-pairing."""
+    Uses the SAME deterministic tau as the puzzle SRS so block-level batch
+    verification can combine solution and transaction pairings into ONE
+    multi-pairing. The SRS is TRIMMED to exactly the circuit's required
+    degree: the degree-bound shadow commitments (s_1/s_2) are only sound
+    when the committer key has no slack above the enforced bound."""
     global _VARUNA_CTX
     if _VARUNA_CTX is None:
         from snarkos_tpu.crypto.ref import r1cs as r1cs_mod
+        from snarkos_tpu.crypto.ref import varuna
         from snarkos_tpu.ops.puzzle import global_puzzle
 
         cs, k_var = r1cs_mod.auth_circuit()
-        srs = global_puzzle().srs.srs_ref
-        if len(srs.powers_g1) < cs.n + 1:
-            # small dev puzzle degree: extend with the SAME deterministic
-            # tau (ops/puzzle.PuzzleSRS.dev) so the cross-transmission
-            # pairing batch in check_next_block stays sound
+        need = varuna.required_srs_degree(cs)
+        base = global_puzzle().srs.srs_ref
+        if len(base.powers_g1) >= need + 1:
+            srs = ref_kzg.SRS(powers_g1=base.powers_g1[: need + 1],
+                              h=base.h, tau_h=base.tau_h)
+        else:
             tau = pow(params.FR_GENERATOR, 0xDEADBEEF, R)
-            srs = ref_kzg.SRS.setup(cs.n, tau=tau)
+            srs = ref_kzg.SRS.setup(need, tau=tau)
+        # the index (verifying key: matrix-polynomial commitments) is
+        # computed once here — O(nnz) at startup, O(1) per verification
+        varuna.get_index(srs, cs)
         _VARUNA_CTX = (cs, k_var, srs)
     return _VARUNA_CTX
 
@@ -544,12 +679,13 @@ def transaction_binding(payload: bytes, fee: int) -> int:
 
 
 def transaction_opening(tx: Transaction):
-    """Pairing-free Varuna verification (transcript + rowcheck + lincheck
-    identities); returns the final (C, z, y, W) opening for (batched)
-    pairing verification, or None if any check fails."""
+    """Pairing-free Varuna verification (full transcript, rowcheck,
+    lincheck, holographic matrix sumchecks, degree-bound shadows);
+    returns the final LIST of (C, z, y, W) openings (beta + delta points)
+    for (batched) pairing verification, or None if any check fails."""
     from snarkos_tpu.crypto.ref import varuna
 
-    cs, _, _ = global_varuna()
+    cs, _, srs = global_varuna()
     if not (0 <= tx.auth_tag < R):
         return None
     try:
@@ -557,26 +693,55 @@ def transaction_opening(tx: Transaction):
     except Exception:
         return None
     m = transaction_binding(tx.payload, tx.fee)
-    return varuna.verify_prepare(cs, [1, m, tx.auth_tag, 0], proof)
+    return varuna.verify_prepare(cs, [1, m, tx.auth_tag, 0], proof, srs=srs)
 
 
 def verify_transaction(tx: Transaction) -> bool:
+    """FULL verification, pairings included — the per-gossip admission
+    check (reference verifies every gossiped tx completely,
+    ledger.rs:318-343)."""
     cs, _, srs = global_varuna()
-    opening = transaction_opening(tx)
-    if opening is None:
+    openings = transaction_opening(tx)
+    if openings is None:
         return False
-    c_pt, z, y, w_pt = opening
-    return ref_kzg.verify(srs, c_pt, z, y, w_pt)
+    return ref_kzg.batch_verify(srs, openings)
+
+
+def sign_execute_payload(payload: bytes, fee: int, account) -> bytes:
+    """Insert ``caller:<addr>`` (if absent) and ``sig:<hex>`` tokens into an
+    execute payload: the Schnorr signature by ``account`` binds the caller
+    address to the payload+fee (verified by _check_caller_auth on commit)."""
+    from snarkos_tpu.crypto.ref import edwards
+    from snarkos_tpu.node.types import point_to_address
+
+    addr = point_to_address(account.pk)
+    toks = payload.decode().split()
+    if len(toks) < 2 or toks[0] != "execute":
+        raise ValueError("not an execute payload")
+    rest = toks[2:]
+    if rest and rest[0].startswith("caller:"):
+        if rest[0][len("caller:"):] != addr:
+            raise ValueError("payload caller differs from the signing account")
+        rest = rest[1:]
+        if rest and rest[0].startswith("sig:"):
+            rest = rest[1:]  # re-sign
+    unsigned = " ".join(toks[:2] + [f"caller:{addr}"] + rest).encode()
+    sig = edwards.sign_bytes(account.sk, account.pk, caller_auth_message(unsigned, fee))
+    sig_tok = f"sig:{sig[0]:064x}{sig[1]:064x}"
+    return " ".join(toks[:2] + [f"caller:{addr}", sig_tok] + rest).encode()
 
 
 def create_transaction(payload: bytes, fee: int = 0, key: int | None = None,
-                       is_deploy: bool = False) -> Transaction:
+                       is_deploy: bool = False, account=None) -> Transaction:
     """Build a valid transaction: prove knowledge of the authorization key
     k with Poseidon2(k, m) = auth_tag (host prover; the device prover is
-    ops/varuna.py)."""
+    ops/varuna.py). Passing ``account`` (an edwards.Account) signs an
+    execute payload's caller binding (sign_execute_payload)."""
     from snarkos_tpu.crypto.ref import r1cs as r1cs_mod
     from snarkos_tpu.crypto.ref import varuna
 
+    if account is not None and not is_deploy and payload.startswith(b"execute "):
+        payload = sign_execute_payload(payload, fee, account)
     cs, k_var, srs = global_varuna()
     if key is None:
         key = int.from_bytes(
@@ -584,7 +749,13 @@ def create_transaction(payload: bytes, fee: int = 0, key: int | None = None,
     m = transaction_binding(payload, fee)
     tag = r1cs_mod.auth_statement(key, m)
     z = r1cs_mod.auth_assignment(cs, k_var, key, m, tag)
-    proof = varuna.prove(srs, cs, z)
+    # deterministic hiding seed derived from the SECRET key: zk against
+    # observers (who don't know k), reproducible across nodes for the
+    # deterministic dev-genesis transaction
+    mask_seed = hashlib.sha256(
+        b"snarkos_tpu.tx.mask" + key.to_bytes(32, "little")
+        + fee.to_bytes(8, "little") + payload).digest()
+    proof = varuna.prove(srs, cs, z, mask_seed=mask_seed)
     return Transaction(
         payload=payload, fee=fee, auth_tag=tag,
         proof=proof.serialize(), is_deploy=is_deploy,
@@ -636,9 +807,9 @@ class CoreLedgerService(LedgerService):
     def current_committee(self): return self.ledger.committee
 
     def committee_lookback_for(self, round_):
-        # static committee in round 1 of the build; the seam preserves the
-        # reference's lookback API (gateway.rs:328-376)
-        return self.ledger.committee
+        # dynamic: derived from on-chain bonding with reference lookback
+        # semantics (ledger.rs:185-198, gateway.rs:328-376)
+        return self.ledger.committee_lookback_for_round(round_)
 
     def contains_certificate(self, cid): return self.ledger.contains_certificate(cid)
     def contains_transmission(self, tid): return self.ledger.contains_transmission(tid)

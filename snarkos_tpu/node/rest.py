@@ -281,10 +281,11 @@ class Rest:
                     "members": {a: {"stake": s, "is_open": o} for a, s, o in c.members},
                 }
             case ["committee", height] if height.isdigit():
-                # static committee in this build: valid for any canon height
+                # the committee in effect at that block's round (dynamic:
+                # derived from on-chain bonding, ledger.committee_history)
                 if int(height) > ledger.latest_height:
                     return 404, {"error": "height beyond the chain tip"}
-                c = ledger.committee
+                c = ledger.committee_for_round(ledger.get_block(int(height)).round)
                 return 200, {
                     "starting_round": c.starting_round,
                     "members": {a: {"stake": s, "is_open": o} for a, s, o in c.members},

@@ -2,10 +2,18 @@
 
 Bit-exact against crypto/ref/ntt.py. Decimation-in-time with a one-shot
 bit-reversal gather, then log2(N) fully-vectorized butterfly stages: at
-stage with half-length m the array is viewed as (L, N/2m, 2, m) and the
+stage with half-length m the array is viewed as (L, B, N/2m, 2, m) and the
 butterfly is two adds and one twiddle mont_mul over the whole tensor —
 no scalar loops, static shapes throughout (XLA-friendly; the reference
 runs this on rayon CPU threads inside snarkVM).
+
+Compile economy (the round-2 lesson): the per-stage twiddle tables are
+passed to the jitted kernel as RUNTIME ARGUMENTS, never captured as
+traced constants — at 2^22 the captured tables totalled ~256 MiB of
+graph literals, which is what overflowed the compiler's request limit
+(HTTP 413). The tables themselves are strided views of one master
+omega-power table built with <=2 full-width Montgomery multiplies from
+tiny host-computed 8-bit-digit power tables.
 
 Distributed (multi-host) NTT lives in parallel/ntt_dist.py (four-step
 algorithm with all-to-all stage exchange).
@@ -26,46 +34,105 @@ from snarkos_tpu.ops.fieldspec import FR
 
 R = params.FR_MODULUS
 
+_DIGIT_BITS = 8
+
 
 @functools.lru_cache(maxsize=None)
 def _bitrev_perm(n: int) -> np.ndarray:
     log_n = n.bit_length() - 1
-    return np.array([ref.bit_reverse(i, log_n) for i in range(n)], dtype=np.int32)
+    idx = np.arange(n, dtype=np.uint32)
+    rev = np.zeros_like(idx)
+    for _ in range(log_n):
+        rev = (rev << 1) | (idx & 1)
+        idx >>= 1
+    return rev.astype(np.int32)
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
 def geometric_powers(base: jax.Array, m: int) -> jax.Array:
     """(L, 1) Montgomery base -> (L, m) powers [1, b, b^2, ..., b^{m-1}].
 
-    Built on device by doubling (log2 m mont_mul passes over growing
-    arrays) — avoids O(m) host bigint loops for large twiddle tables.
+    Blocked, scan-structured: the first block of B powers is built by a
+    scan over the index bits (one mont_mul trace), then successive blocks
+    are produced by a scan multiplying by b^B — total work O(m) multiplies
+    with an O(1)-stage compiled graph at every size (the round-2 doubling
+    ladder unrolled log2(m) multiply graphs, growing the compiled graph
+    linearly with log m).
     """
-    out = fa.broadcast_const(FR, 1, (1,))
-    b_pow = base  # b^(2^k), squared each round
-    while out.shape[-1] < m:
-        out = jnp.concatenate([out, fa.mont_mul_impl(FR, out, b_pow)], axis=-1)
-        b_pow = fa.mont_sqr_impl(FR, b_pow)
-    return out[:, :m]
+    if m == 1:
+        return fa.broadcast_const(FR, 1, (1,))
+    bbits = min(12, (m - 1).bit_length())
+    B = 1 << bbits
+
+    def sq(b, _):
+        return fa.mont_sqr_impl(FR, b), b
+
+    base_B, pows = jax.lax.scan(sq, base, None, length=bbits)  # pows[k] = b^(2^k)
+
+    i = jnp.arange(B, dtype=jnp.int32)
+    masks = jnp.left_shift(jnp.int32(1), jnp.arange(bbits, dtype=jnp.int32))
+
+    def mul_step(acc, pk_mask):
+        pk, mask = pk_mask
+        sel = (i & mask) != 0
+        return jnp.where(sel[None], fa.mont_mul_impl(FR, acc, pk), acc), None
+
+    block0, _ = jax.lax.scan(mul_step, fa.broadcast_const(FR, 1, (B,)), (pows, masks))
+
+    nblocks = -(-m // B)
+    if nblocks == 1:
+        return block0[:, :m]
+
+    def blk(cur, _):
+        return fa.mont_mul_impl(FR, cur, base_B), cur
+
+    _, blocks = jax.lax.scan(blk, block0, None, length=nblocks)  # (nblocks, L, B)
+    return jnp.moveaxis(blocks, 0, 1).reshape(FR.nlimbs, nblocks * B)[:, :m]
 
 
 @functools.lru_cache(maxsize=None)
-def _stage_twiddles(n: int, invert: bool) -> tuple:
-    """Per-stage twiddle limb arrays: stage s (half-length m = 2^s) gets
-    (L, 1, m) Montgomery twiddles w_len^j, w_len = omega^(n / 2m).
+def _master_table(n: int, invert: bool) -> jax.Array:
+    """(L, n/2) Montgomery table W[i] = omega^i (omega of order n, or its
+    inverse). Host computes per-8-bit-digit power tables with bigints;
+    the device combines them with <=2 full-width Montgomery multiplies.
 
-    Computed under ensure_compile_time_eval so the cached arrays are
+    Computed under ensure_compile_time_eval so the cached array is
     CONCRETE even when the first call happens while tracing a jitted NTT
     (otherwise the lru_cache would capture and leak tracers)."""
     omega = ref.root_of_unity(n)
     if invert:
         omega = pow(omega, -1, R)
+    half = max(n // 2, 1)
+    ndigits = max(1, -(-max(half.bit_length() - 1, 1) // _DIGIT_BITS))
+    with jax.ensure_compile_time_eval():
+        tables = []
+        for k in range(ndigits):
+            base = pow(omega, 1 << (_DIGIT_BITS * k), R)
+            size = min(1 << _DIGIT_BITS, half)
+            tables.append(jnp.array(FR.encode([pow(base, d, R) for d in range(size)])))
+        idx = jnp.arange(half, dtype=jnp.int32)
+        mask = (1 << _DIGIT_BITS) - 1
+        out = jnp.take(tables[0], idx & mask, axis=-1)
+        for k in range(1, ndigits):
+            digit = (idx >> (_DIGIT_BITS * k)) & mask
+            out = fa.mont_mul_impl(FR, out, jnp.take(tables[k], digit, axis=-1))
+        return out
+
+
+@functools.lru_cache(maxsize=None)
+def _stage_twiddles(n: int, invert: bool) -> tuple:
+    """Per-stage twiddle limb arrays: stage s (half-length m = 2^s) gets
+    (L, 1, m) Montgomery twiddles w_len^j, w_len = omega^(n / 2m) — i.e.
+    the stride-2^(S-1-s) subsample of the master table. Concrete device
+    arrays, handed to the jitted kernel as runtime inputs."""
+    master = _master_table(n, invert)
+    log_n = n.bit_length() - 1
     out = []
     with jax.ensure_compile_time_eval():
-        m = 1
-        while m < n:
-            w_len = jnp.array(FR.encode([pow(omega, n // (2 * m), R)]))
-            out.append(geometric_powers(w_len, m).reshape(FR.nlimbs, 1, m))
-            m *= 2
+        for s in range(log_n):
+            m = 1 << s
+            step = 1 << (log_n - 1 - s)
+            out.append(master[:, ::step].reshape(FR.nlimbs, 1, m))
     return tuple(out)
 
 
@@ -75,7 +142,26 @@ def _n_inv_const(n: int):
         return jnp.array(FR.encode([pow(n, -1, R)]))  # (L, 1)
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
+@functools.partial(jax.jit, static_argnums=(4,))
+def _ntt_kernel(a, perm, twiddles, n_inv, invert: bool):
+    """(L, B, n) bit-reversible input; perm/twiddles/n_inv are runtime
+    args (device-resident, cached by the callers) so the graph carries no
+    large literals."""
+    L, B, n = a.shape
+    a = jnp.take(a, perm, axis=-1)
+    m = 1
+    for tw in twiddles:
+        groups = n // (2 * m)
+        v = a.reshape(L, B, groups, 2, m)
+        u, w = v[:, :, :, 0, :], v[:, :, :, 1, :]
+        w = fa.mont_mul_impl(FR, w, tw[:, None])  # (L,1,1,m) broadcast
+        a = jnp.stack([fa.add_impl(FR, u, w), fa.sub_impl(FR, u, w)], axis=3).reshape(L, B, n)
+        m *= 2
+    if invert:
+        a = fa.mont_mul_impl(FR, a, n_inv[:, None])
+    return a
+
+
 def ntt(a: jax.Array, invert: bool = False) -> jax.Array:
     """(L, N) Montgomery Fr coefficients -> (L, N) evaluations (or inverse).
 
@@ -83,41 +169,21 @@ def ntt(a: jax.Array, invert: bool = False) -> jax.Array:
     """
     L, n = a.shape
     assert n & (n - 1) == 0, "size must be a power of two"
-    perm = jnp.array(_bitrev_perm(n))
-    a = jnp.take(a, perm, axis=1)
-    twiddles = _stage_twiddles(n, invert)
-    m = 1
-    for tw in twiddles:
-        groups = n // (2 * m)
-        v = a.reshape(L, groups, 2, m)
-        u, w = v[:, :, 0, :], v[:, :, 1, :]
-        w = fa.mont_mul(FR, w, tw)
-        a = jnp.stack([fa.add(FR, u, w), fa.sub(FR, u, w)], axis=2).reshape(L, n)
-        m *= 2
-    if invert:
-        a = fa.mont_mul(FR, a, _n_inv_const(n))
-    return a
+    if n == 1:
+        return a
+    out = _ntt_kernel(a.reshape(L, 1, n), jnp.asarray(_bitrev_perm(n)),
+                      _stage_twiddles(n, invert), _n_inv_const(n), invert)
+    return out.reshape(L, n)
 
 
 def intt(a: jax.Array) -> jax.Array:
     return ntt(a, invert=True)
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
 def ntt_batched(a: jax.Array, invert: bool = False) -> jax.Array:
     """(L, B, N): independent NTTs over the trailing axis per batch row."""
     L, B, n = a.shape
-    perm = jnp.array(_bitrev_perm(n))
-    a = jnp.take(a, perm, axis=2)
-    twiddles = _stage_twiddles(n, invert)
-    m = 1
-    for tw in twiddles:
-        groups = n // (2 * m)
-        v = a.reshape(L, B, groups, 2, m)
-        u, w = v[:, :, :, 0, :], v[:, :, :, 1, :]
-        w = fa.mont_mul(FR, w, tw[:, None])  # (L,1,1,m) broadcast
-        a = jnp.stack([fa.add(FR, u, w), fa.sub(FR, u, w)], axis=3).reshape(L, B, n)
-        m *= 2
-    if invert:
-        a = fa.mont_mul(FR, a, _n_inv_const(n)[:, None])
-    return a
+    if n == 1:
+        return a
+    return _ntt_kernel(a, jnp.asarray(_bitrev_perm(n)),
+                       _stage_twiddles(n, invert), _n_inv_const(n), invert)

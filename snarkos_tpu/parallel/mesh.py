@@ -31,7 +31,13 @@ def make_mesh(num_devices: int | None = None, axis: str = "x",
                 f"(set --xla_force_host_platform_device_count for CPU meshes)"
             )
         devices = devices[:num_devices]
-    return jax.make_mesh((len(devices),), (axis,), devices=devices)
+    # Pin Auto axis types: under JAX 0.9 explicit sharding, Explicit-axis
+    # meshes assert on some slice lowerings inside shard_map; all kernels
+    # here use explicit in_specs/out_specs so Auto is both safe and robust.
+    return jax.make_mesh(
+        (len(devices),), (axis,), devices=devices,
+        axis_types=(jax.sharding.AxisType.Auto,),
+    )
 
 
 def shard_last(mesh: Mesh, arr, axis: str = "x"):

@@ -63,14 +63,18 @@ def msm_dist(
             half = width // 2
             lo = tuple(t[..., :half] for t in total)
             hi = tuple(t[..., half : 2 * half] for t in total)
-            rem = tuple(t[..., 2 * half : width] for t in total)
-            total = group.add(lo, hi)
+            summed = group.add(lo, hi)
             if width % 2:
+                # odd-width leftover; sliced ONLY on the odd branch — a
+                # zero-width slice under an explicit-sharding mesh trips an
+                # XLA sharding-override assert inside shard_map (r2 regression)
+                rem = tuple(t[..., 2 * half : width] for t in total)
                 total = tuple(
-                    jnp.concatenate([a, b], axis=-1) for a, b in zip(total, rem)
+                    jnp.concatenate([a, b], axis=-1) for a, b in zip(summed, rem)
                 )
                 width = half + 1
             else:
+                total = summed
                 width = half
         return total
 

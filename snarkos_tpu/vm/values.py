@@ -121,8 +121,9 @@ def format_value(v: Value) -> str:
 def parse_typed(tok: str, ty: str) -> Value:
     """Parse a token against an expected type (used for function inputs
     and mapping keys arriving as strings)."""
-    if ty == "group" and tok.endswith("group") and len(tok) > 69:
-        # compressed-point hex form emitted by format_value
+    if ty == "group" and tok.endswith("group") and len(tok) == 69:
+        # compressed-point hex form emitted by format_value: exactly
+        # 64 hex chars (32-byte point) + the "group" suffix
         return Value("group", edwards.decompress(bytes.fromhex(tok[:-5])))
     v = parse_literal(tok)
     if v.ty != ty:
@@ -231,6 +232,10 @@ def rem(a: Value, b: Value) -> Value:
     _same(a, b)
     if _as_int(b) == 0:
         raise HaltError("rem by zero")
+    bits, signed = INT_TYPES[a.ty]
+    if signed and b.val == -1 and a.val == -(1 << (bits - 1)):
+        # snarkVM checked_rem: iN::MIN rem -1 is overflow, not 0
+        raise HaltError("rem overflow")
     q = abs(a.val) // abs(b.val)
     if (a.val < 0) != (b.val < 0):
         q = -q

@@ -85,7 +85,8 @@ async def test_tcp_devnet_commits_blocks():
         payer = nodes[0].account.address
         payee = "aleo1" + "c" * 64
         tx = create_transaction(
-            f"execute credits.aleo/transfer_public {payer} {payee} 9u64".encode())
+            f"execute credits.aleo/transfer_public {payee} 9u64".encode(),
+            account=nodes[0].account)
         for v in nodes:
             v.consensus.primary.worker.ready[tx.id] = Transmission.from_transaction(tx)
         ok = await _wait_for(

@@ -225,7 +225,8 @@ async def test_records_route(monkeypatch):
     acct = edwards.Account.new(seed=b"\x0a" * 32)
     owner = point_to_address(acct.pk)
     ledger._apply_program_ops(create_transaction(
-        f"execute ptoken.aleo/mint_private {owner} {owner} 33u64".encode()), 2)
+        f"execute ptoken.aleo/mint_private {owner} 33u64".encode(),
+        account=acct), 2)
 
     class FakeRouter:
         peers = {}

@@ -92,6 +92,31 @@ def test_finalize_halt_rolls_back():
     assert store.get("token.aleo", "balances", BOB) is None
 
 
+def test_group_value_roundtrip():
+    """format_value emits exactly 64 hex chars + 'group' (69 chars); the
+    parser must accept its own output (r2 advisory: the > 69 condition
+    never matched, so self-emitted group values halted on re-parse)."""
+    from snarkos_tpu.crypto.ref import edwards
+
+    g = Value("group", edwards.scalar_mul(7, edwards.GENERATOR))
+    tok = V.format_value(g)
+    assert len(tok) == 69 and tok.endswith("group")
+    back = V.parse_typed(tok, "group")
+    assert back.ty == "group" and back.val == g.val
+    # and inside a record/struct member plaintext round-trip
+    from snarkos_tpu import vm as avm2
+
+    members = avm2.parse_plaintext(f"{{ pt: {tok} }}", {"pt": "group"})
+    assert members["pt"].val == g.val
+
+
+def test_rem_min_by_neg_one_halts():
+    """snarkVM checked_rem: iN::MIN rem -1 overflows -> halt (not 0)."""
+    with pytest.raises(HaltError):
+        V.rem(Value("i8", -128), Value("i8", -1))
+    assert V.rem(Value("i8", -127), Value("i8", -1)).val == 0
+
+
 def test_checked_vs_wrapped_arithmetic():
     with pytest.raises(HaltError):
         V.add(Value("u8", 200), Value("u8", 100))
@@ -270,23 +295,74 @@ function clamp:
 
 def test_ledger_integration():
     """Deploy + execute through the ledger commit path (program ops are
-    applied on block indexing; aborted executions leave no state)."""
+    applied on block indexing; aborted executions leave no state). Callers
+    are bound with caller:/sig: tokens (create_transaction(account=...))."""
+    from snarkos_tpu.crypto.ref import edwards
     from snarkos_tpu.node.cli import dev_committee
     from snarkos_tpu.node.ledger import Ledger, create_transaction
+    from snarkos_tpu.node.types import point_to_address
 
+    acct = edwards.Account.new(seed=b"\x0a" * 32)
+    alice = point_to_address(acct.pk)
     committee = dev_committee(2)
     ledger = Ledger(committee)
     deploy = create_transaction(TOKEN.encode(), is_deploy=True)
     good = create_transaction(
-        f"execute token.aleo/mint {ALICE} {ALICE} 42u64".encode())
+        f"execute token.aleo/mint {alice} 42u64".encode(), account=acct)
     bad = create_transaction(  # transfer more than the balance -> aborted
-        f"execute token.aleo/transfer {ALICE} {BOB} 999u64".encode())
+        f"execute token.aleo/transfer {BOB} 999u64".encode(), account=acct)
     for i, tx in enumerate((deploy, good, bad)):
         ledger._apply_program_ops(tx, block_height=i + 1)
     assert "token.aleo" in ledger.programs
-    assert ledger.get_mapping_value("token.aleo", "balances", ALICE) == "42u64"
+    assert ledger.get_mapping_value("token.aleo", "balances", alice) == "42u64"
     assert bad.id.digest in ledger.aborted_tx_ids
     assert ledger.get_mapping_value("token.aleo", "balances", BOB) is None
+
+
+def test_ledger_caller_must_be_signed():
+    """An unsigned (or wrongly-signed) caller token must abort the
+    execution: otherwise any party could debit arbitrary accounts by
+    naming them as caller (r2 advisory, high)."""
+    from snarkos_tpu.crypto.ref import edwards
+    from snarkos_tpu.node.cli import dev_committee
+    from snarkos_tpu.node.ledger import Ledger, create_transaction
+    from snarkos_tpu.node.types import point_to_address
+
+    acct = edwards.Account.new(seed=b"\x0a" * 32)
+    alice = point_to_address(acct.pk)
+    attacker = edwards.Account.new(seed=b"\x0b" * 32)
+    committee = dev_committee(2)
+    ledger = Ledger(committee)
+    ledger._apply_program_ops(
+        create_transaction(TOKEN.encode(), is_deploy=True), 1)
+    ledger._apply_program_ops(create_transaction(
+        f"execute token.aleo/mint {alice} 42u64".encode(), account=acct), 2)
+
+    # 1. bare caller token with no signature
+    naked = create_transaction(
+        f"execute token.aleo/transfer caller:{alice} {BOB} 10u64".encode())
+    ledger._apply_program_ops(naked, 3)
+    assert naked.id.digest in ledger.aborted_tx_ids
+    # 2. signature by a DIFFERENT account over alice's caller token
+    from snarkos_tpu.node.ledger import caller_auth_message
+
+    forged_unsigned = f"execute token.aleo/transfer caller:{alice} {BOB} 10u64"
+    sig = edwards.sign_bytes(attacker.sk, attacker.pk,
+                             caller_auth_message(forged_unsigned.encode(), 0))
+    toks = forged_unsigned.split()
+    forged = " ".join(toks[:3] + [f"sig:{sig[0]:064x}{sig[1]:064x}"] + toks[3:])
+    bad = create_transaction(forged.encode())
+    ledger._apply_program_ops(bad, 4)
+    assert bad.id.digest in ledger.aborted_tx_ids
+    # balance untouched either way
+    assert ledger.get_mapping_value("token.aleo", "balances", alice) == "42u64"
+    # 3. the genuine owner's signature works
+    ok = create_transaction(
+        f"execute token.aleo/transfer {BOB} 10u64".encode(), account=acct)
+    ledger._apply_program_ops(ok, 5)
+    assert ok.id.digest not in ledger.aborted_tx_ids
+    assert ledger.get_mapping_value("token.aleo", "balances", alice) == "32u64"
+    assert ledger.get_mapping_value("token.aleo", "balances", BOB) == "10u64"
 
 
 def test_genesis_quorum_state():
@@ -312,9 +388,16 @@ def test_genesis_quorum_state():
             "credits.aleo", "account", addr) == f"{GENESIS_STARTING_BALANCE}u64"
 
     # a committed transfer_public moves public credits between accounts
+    # (caller signed by the matching dev account)
+    from snarkos_tpu.node.cli import dev_account
+    from snarkos_tpu.node.types import point_to_address
+
+    accounts = {point_to_address(dev_account(i).pk): dev_account(i)
+                for i in range(2)}
     a0, a1 = committee.addresses[0], committee.addresses[1]
     tx = create_transaction(
-        f"execute credits.aleo/transfer_public {a0} {a1} 5u64".encode())
+        f"execute credits.aleo/transfer_public {a1} 5u64".encode(),
+        account=accounts[a0])
     ledger._apply_program_ops(tx, block_height=1)
     bal0 = ledger.get_mapping_value("credits.aleo", "account", a0)
     bal1 = ledger.get_mapping_value("credits.aleo", "account", a1)
@@ -323,7 +406,8 @@ def test_genesis_quorum_state():
 
     # bond/unbond round-trip
     tx2 = create_transaction(
-        f"execute credits.aleo/bond_public {a0} 7u64".encode())
+        f"execute credits.aleo/bond_public 7u64".encode(),
+        account=accounts[a0])
     ledger._apply_program_ops(tx2, block_height=2)
     assert ledger.get_mapping_value("credits.aleo", "bonded", a0) == "107u64"
 
@@ -350,6 +434,13 @@ function transfer_private:
     cast r1 r2 into r5 as coin.record;
     output r4 as coin.record;
     output r5 as coin.record;
+
+function join:
+    input r0 as coin.record;
+    input r1 as coin.record;
+    add r0.amount r1.amount into r2;
+    cast r0.owner r2 into r3 as coin.record;
+    output r3 as coin.record;
 """
 
 
@@ -406,7 +497,7 @@ def test_records_ledger_spend_and_double_spend():
     bob = point_to_address(edwards.Account.new(seed=b"\x08" * 32).pk)
 
     mint = create_transaction(
-        f"execute ptoken.aleo/mint_private {owner} {owner} 50u64".encode())
+        f"execute ptoken.aleo/mint_private {owner} 50u64".encode(), account=acct)
     ledger._apply_program_ops(mint, 2)
     blobs = ledger.record_ciphertexts.get(2, [])
     assert len(blobs) == 1
@@ -417,14 +508,43 @@ def test_records_ledger_spend_and_double_spend():
 
     rec_hex = format_value(rec).encode().hex()
     spend = create_transaction(
-        f"execute ptoken.aleo/transfer_private {owner} record:{rec_hex} {bob} 20u64".encode())
+        f"execute ptoken.aleo/transfer_private record:{rec_hex} {bob} 20u64".encode(),
+        account=acct)
     ledger._apply_program_ops(spend, 3)
     assert spend.id.digest not in ledger.aborted_tx_ids
     assert len(ledger.record_ciphertexts.get(3, [])) == 2  # change + output
 
     # replaying the same record input is a double spend -> aborted
     spend2 = create_transaction(
-        f"execute ptoken.aleo/transfer_private {owner} record:{rec_hex} {bob} 5u64".encode())
+        f"execute ptoken.aleo/transfer_private record:{rec_hex} {bob} 5u64".encode(),
+        account=acct)
     ledger._apply_program_ops(spend2, 4)
     assert spend2.id.digest in ledger.aborted_tx_ids
     assert not ledger.record_ciphertexts.get(4)
+
+    # the SAME record passed twice in ONE transaction is also a double
+    # spend (r2 advisory: within-tx serial cross-check — a join-style
+    # function would otherwise count the value twice)
+    mint2 = create_transaction(
+        f"execute ptoken.aleo/mint_private {owner} 8u64".encode(), account=acct)
+    ledger._apply_program_ops(mint2, 5)
+    (blob2,) = ledger.record_ciphertexts[5]
+    _, rec2 = avm2.open_record(acct.sk, blob2, prog)
+    rec2_hex = format_value(rec2).encode().hex()
+    dbl = create_transaction(
+        f"execute ptoken.aleo/join record:{rec2_hex} record:{rec2_hex}".encode(),
+        account=acct)
+    ledger._apply_program_ops(dbl, 6)
+    assert dbl.id.digest in ledger.aborted_tx_ids
+    # a join of two DISTINCT records succeeds (rec2 + a third mint)
+    mint3 = create_transaction(
+        f"execute ptoken.aleo/mint_private {owner} 3u64".encode(), account=acct)
+    ledger._apply_program_ops(mint3, 7)
+    (blob3,) = ledger.record_ciphertexts[7]
+    _, rec3 = avm2.open_record(acct.sk, blob3, prog)
+    rec3_hex = format_value(rec3).encode().hex()
+    join = create_transaction(
+        f"execute ptoken.aleo/join record:{rec2_hex} record:{rec3_hex}".encode(),
+        account=acct)
+    ledger._apply_program_ops(join, 8)
+    assert join.id.digest not in ledger.aborted_tx_ids
