@@ -603,8 +603,9 @@ class Ledger:
         return _rk.verify(global_puzzle().srs.srs_ref, c, z, y, w)
 
     def _solution_opening_for(self, sol: Solution, block: Block):
-        """Structural checks for a solution inside ``block``; returns the
-        (C, z, y, W) opening for batched pairing verification or None."""
+        """Structural + epoch-binding checks for a solution inside
+        ``block``; returns the (C, z, y, W) opening for batched pairing
+        verification or None."""
         from snarkos_tpu.ops.puzzle import global_puzzle
 
         # the solution must target the PREVIOUS block's epoch (it was mined
@@ -612,9 +613,18 @@ class Ledger:
         prev = self.blocks[block.height - 1] if block.height >= 1 else self.latest_block
         if sol.epoch_hash != prev.epoch_hash:
             return None
-        return global_puzzle().check_structural(
+        pz = global_puzzle()
+        opening = pz.check_structural(
             sol.commitment, sol.eval_y, sol.witness, prev.proof_target
         )
+        if opening is None:
+            return None
+        # the committed polynomial must BE the epoch-program-derived one
+        # (ops/puzzle.check_binding; rejects prior-epoch relations)
+        if not pz.check_binding(sol.epoch_hash, sol.address, sol.nonce,
+                                sol.commitment, sol.eval_y):
+            return None
+        return opening
 
     def advance_to_next_block(self, block: Block) -> None:
         with self.lock:

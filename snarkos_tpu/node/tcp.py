@@ -6,6 +6,26 @@ duplicate / limit checks, a listener, and pluggable protocol hooks —
 handshake, per-connection reading loop, writing (unicast/broadcast),
 on-connect, on-disconnect — plus per-peer and global byte/message stats.
 
+Hardening semantics carried over from the reference stack:
+
+- **Fatal-io classification** (config.rs fatal io errors): read/write
+  errors are split into *fatal* (peer gone / protocol violation — the
+  connection is torn down and the peer's failure counter bumped) and
+  *benign* shutdown races (cancellation during our own disconnect).
+- **Reading backpressure** (protocols/reading.rs MESSAGE_QUEUE_DEPTH):
+  each connection owns a bounded inbound queue drained by a dedicated
+  processing task, so one slow message handler cannot stall frame
+  decoding; when the queue is full the frame is DROPPED with a warning
+  and counted as a failure (the reference logs and drops likewise).
+- **Handshake framing cap** (codec.rs: 1 MiB during handshake vs the
+  plane's full cap after): `Connection.handshake_frame()` reads with the
+  reduced limit; the full limit applies only after `_adapt` installs the
+  reading task.
+- **Split-stream ownership** (protocols/handshake.rs borrow_stream /
+  take_stream): the handshake hook owns the reader/writer exclusively
+  until it returns — the reading/writing tasks are spawned strictly
+  afterwards, so a handshake never races the framed read loop.
+
 A concrete node plane (router or gateway) subclasses/instantiates ``Tcp``
 and supplies the hooks.
 """
@@ -13,6 +33,7 @@ and supplies the hooks.
 from __future__ import annotations
 
 import asyncio
+import errno
 import logging
 import time
 from dataclasses import dataclass, field
@@ -21,6 +42,37 @@ from typing import Awaitable, Callable, Optional
 from snarkos_tpu.node import codec
 
 log = logging.getLogger(__name__)
+
+# handshake-time frame cap (messages/src/helpers/codec.rs:24-27: 1 MiB
+# during handshake, plane cap afterwards)
+MAX_HANDSHAKE_FRAME = 1 << 20
+
+# errno values treated as FATAL io errors (the reference's configurable
+# fatal set covers ConnectionReset/Aborted/BrokenPipe/UnexpectedEof)
+_FATAL_ERRNOS = {
+    errno.ECONNRESET, errno.ECONNABORTED, errno.EPIPE, errno.ENOTCONN,
+    errno.ESHUTDOWN, errno.ETIMEDOUT, errno.EHOSTUNREACH, errno.ENETDOWN,
+    errno.ENETUNREACH, errno.ENETRESET,
+}
+
+
+def classify_io_error(exc: BaseException) -> str:
+    """'fatal' | 'protocol' | 'benign' — drives failure accounting.
+
+    fatal: the transport died under us (peer reset, broken pipe, EOF).
+    protocol: the peer VIOLATED framing (oversized/malformed frame).
+    benign: our own shutdown/cancellation races.
+    """
+    if isinstance(exc, codec.FrameError):
+        return "protocol"
+    if isinstance(exc, (asyncio.IncompleteReadError, ConnectionResetError,
+                        BrokenPipeError, ConnectionAbortedError, EOFError)):
+        return "fatal"
+    if isinstance(exc, OSError):
+        return "fatal" if exc.errno in _FATAL_ERRNOS else "benign"
+    if isinstance(exc, asyncio.CancelledError):
+        return "benign"
+    return "fatal"
 
 
 @dataclass
@@ -43,22 +95,32 @@ class PeerStats:
     recv_msgs: int = 0
     recv_bytes: int = 0
     failures: int = 0
+    dropped_msgs: int = 0  # inbound-queue overflow drops
     first_seen: float = field(default_factory=time.time)
     last_seen: float = field(default_factory=time.time)
 
 
 class Connection:
-    """One live connection (post-handshake)."""
+    """One live connection. During the handshake the hook owns the
+    reader/writer exclusively (reference take_stream/borrow_stream); the
+    framed read/write/process tasks start only after the handshake
+    returns."""
 
     def __init__(self, addr: tuple[str, int], reader: asyncio.StreamReader,
-                 writer: asyncio.StreamWriter, side: str):
+                 writer: asyncio.StreamWriter, side: str,
+                 queue_depth: int = 1024):
         self.addr = addr  # the remote (ip, port) of the socket
         self.reader = reader
         self.writer = writer
         self.side = side  # "initiator" | "responder"
-        self.send_queue: asyncio.Queue = asyncio.Queue(maxsize=1024)
+        self.send_queue: asyncio.Queue = asyncio.Queue(maxsize=queue_depth)
+        self.recv_queue: asyncio.Queue = asyncio.Queue(maxsize=queue_depth)
         self.tasks: list[asyncio.Task] = []
         self.closed = asyncio.Event()
+
+    async def handshake_frame(self) -> bytes:
+        """Read one frame under the HANDSHAKE cap (1 MiB)."""
+        return await codec.read_frame(self.reader, MAX_HANDSHAKE_FRAME)
 
 
 class Tcp:
@@ -124,7 +186,8 @@ class Tcp:
             reader, writer = await asyncio.wait_for(
                 asyncio.open_connection(*addr), self.config.connection_timeout_s
             )
-            conn = Connection(addr, reader, writer, "initiator")
+            conn = Connection(addr, reader, writer, "initiator",
+                              self.config.message_queue_depth)
             await self._adapt(conn)
         except Exception:
             self._bump_failure(addr)
@@ -137,21 +200,24 @@ class Tcp:
         if self.num_connected >= self.config.max_connections:
             writer.close()
             return
-        conn = Connection(addr, reader, writer, "responder")
+        conn = Connection(addr, reader, writer, "responder",
+                          self.config.message_queue_depth)
         try:
             await self._adapt(conn)
         except Exception as exc:
             log.debug("%s: failed to accept %s: %s", self.name, addr, exc)
+            self._bump_failure(addr)
             writer.close()
 
     async def _adapt(self, conn: Connection) -> None:
-        """Handshake, then spawn the reading/writing tasks
-        (node/tcp/src/tcp.rs:429-504)."""
+        """Handshake (exclusive stream ownership), then spawn the
+        read/process/write tasks (node/tcp/src/tcp.rs:429-504)."""
         if self.handshake is not None:
             await asyncio.wait_for(self.handshake(conn), self.config.handshake_timeout_s)
         self.connections[conn.addr] = conn
         self.stats.setdefault(conn.addr, PeerStats())
         conn.tasks.append(asyncio.create_task(self._read_loop(conn)))
+        conn.tasks.append(asyncio.create_task(self._process_loop(conn)))
         conn.tasks.append(asyncio.create_task(self._write_loop(conn)))
         if self.on_connect is not None:
             await self.on_connect(conn.addr)
@@ -199,6 +265,8 @@ class Tcp:
         return count
 
     async def _read_loop(self, conn: Connection) -> None:
+        """Frame decoding only; handling happens in _process_loop so a
+        slow handler never stalls the socket (protocols/reading.rs)."""
         try:
             while True:
                 payload = await codec.read_frame(conn.reader, self.config.max_frame_size)
@@ -207,12 +275,36 @@ class Tcp:
                     st.recv_msgs += 1
                     st.recv_bytes += len(payload) + 4
                     st.last_seen = time.time()
+                try:
+                    conn.recv_queue.put_nowait(payload)
+                except asyncio.QueueFull:
+                    # reference Reading drops on a full inbound queue
+                    if st:
+                        st.dropped_msgs += 1
+                    log.warning("%s: inbound queue full for %s, dropping",
+                                self.name, conn.addr)
+        except asyncio.CancelledError:
+            pass
+        except Exception as exc:
+            kind = classify_io_error(exc)
+            if kind != "benign":
+                self._bump_failure(conn.addr)
+                log.debug("%s: %s read error from %s: %s",
+                          self.name, kind, conn.addr, exc)
+        finally:
+            if conn.addr in self.connections:
+                asyncio.ensure_future(self.disconnect(conn.addr))
+
+    async def _process_loop(self, conn: Connection) -> None:
+        try:
+            while True:
+                payload = await conn.recv_queue.get()
                 if self.process_message is not None:
                     await self.process_message(conn.addr, payload)
-        except (asyncio.IncompleteReadError, ConnectionResetError, codec.FrameError,
-                asyncio.CancelledError, OSError):
+        except asyncio.CancelledError:
             pass
-        finally:
+        except Exception as exc:
+            log.debug("%s: handler error from %s: %s", self.name, conn.addr, exc)
             if conn.addr in self.connections:
                 asyncio.ensure_future(self.disconnect(conn.addr))
 
@@ -226,8 +318,14 @@ class Tcp:
                 if st:
                     st.sent_msgs += 1
                     st.sent_bytes += len(payload) + 4
-        except (ConnectionResetError, asyncio.CancelledError, OSError):
+        except asyncio.CancelledError:
             pass
+        except Exception as exc:
+            kind = classify_io_error(exc)
+            if kind != "benign":
+                self._bump_failure(conn.addr)
+            if conn.addr in self.connections:
+                asyncio.ensure_future(self.disconnect(conn.addr))
 
     def _bump_failure(self, addr):
         self.stats.setdefault(addr, PeerStats()).failures += 1

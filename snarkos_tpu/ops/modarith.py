@@ -194,6 +194,50 @@ def _mont_mul_rolled(spec: FieldSpec, a: jax.Array, b: jax.Array) -> jax.Array:
     return _stack(_cond_sub_p(spec, out[:L]))
 
 
+# One-level Karatsuba for the unrolled operand product: 3 (L/2)^2
+# schoolbook products instead of L^2 (432 vs 576 int32 multiplies at
+# L = 24). Subtractive variant so every multiplied magnitude stays 16-bit
+# (the wrapping-int32 lo/hi split requires it); the middle term's sign
+# rides the column accumulators, which tolerate negatives (_normalize and
+# the reduction use arithmetic shifts + masks, value-exact for signed
+# columns). Column magnitude stays < 6L*2^16 < 2^24 — far inside int32.
+KARATSUBA = True
+
+
+def _abs_diff_rows(lo: list, hi: list):
+    """|lo - hi| as canonical 16-bit limbs + the sign (1 if lo < hi),
+    via two borrow chains and a select."""
+    n = len(lo)
+    fwd, bwd = [], []
+    b1 = b2 = None
+    for i in range(n):
+        d = lo[i] - hi[i] - (b1 if b1 is not None else 0)
+        fwd.append(d & LIMB_MASK)
+        b1 = (d >> LIMB_BITS) & 1
+        e = hi[i] - lo[i] - (b2 if b2 is not None else 0)
+        bwd.append(e & LIMB_MASK)
+        b2 = (e >> LIMB_BITS) & 1
+    neg = b1  # lo < hi
+    out = [jnp.where(neg == 1, bwd[i], fwd[i]) for i in range(n)]
+    return out, neg
+
+
+def _school_cols(xr: list, yr: list) -> list:
+    """h x h schoolbook product as 2h columns of exact 16-bit halves."""
+    h = len(xr)
+    cols: list = [None] * (2 * h)
+
+    def put(k, v):
+        cols[k] = v if cols[k] is None else cols[k] + v
+
+    for i in range(h):
+        for j in range(h):
+            prod = xr[i] * yr[j]
+            put(i + j, prod & LIMB_MASK)
+            put(i + j + 1, (prod >> LIMB_BITS) & LIMB_MASK)
+    return cols
+
+
 def _mont_mul_unrolled(spec: FieldSpec, a: jax.Array, b: jax.Array) -> jax.Array:
     L = spec.nlimbs
     ar, br = _rows(a), _rows(b)
@@ -202,12 +246,27 @@ def _mont_mul_unrolled(spec: FieldSpec, a: jax.Array, b: jax.Array) -> jax.Array
     def acc(k, v):
         t[k] = v if t[k] is None else t[k] + v
 
-    # operand product, columns of exact 16-bit halves
-    for i in range(L):
-        for j in range(L):
-            prod = ar[i] * br[j]
-            acc(i + j, prod & LIMB_MASK)
-            acc(i + j + 1, (prod >> LIMB_BITS) & LIMB_MASK)
+    if KARATSUBA and L % 2 == 0 and L >= 8:
+        h = L // 2
+        z0 = _school_cols(ar[:h], br[:h])
+        z2 = _school_cols(ar[h:], br[h:])
+        da, sa = _abs_diff_rows(ar[:h], ar[h:])
+        db, sb = _abs_diff_rows(br[:h], br[h:])
+        mid = _school_cols(da, db)
+        # (a_lo-a_hi)(b_lo-b_hi) = (-1)^(sa^sb) mid;
+        # z1 = z0 + z2 - (-1)^(sa^sb) mid
+        mid_neg = (sa ^ sb) == 0  # subtract mid when signs agree
+        for c in range(2 * h):
+            acc(c, z0[c])
+            acc(c + 2 * h, z2[c])
+            acc(c + h, z0[c] + z2[c] + jnp.where(mid_neg, -mid[c], mid[c]))
+    else:
+        # operand product, columns of exact 16-bit halves
+        for i in range(L):
+            for j in range(L):
+                prod = ar[i] * br[j]
+                acc(i + j, prod & LIMB_MASK)
+                acc(i + j + 1, (prod >> LIMB_BITS) & LIMB_MASK)
 
     # SOS Montgomery reduction
     for i in range(L):

@@ -6,22 +6,37 @@ ledger-service/src/ledger.rs:306-315) as a TPU-first pipeline:
 
   prove(epoch_hash, address, nonce):
     1. seed  = sha256(epoch_hash || address || nonce)
-    2. coeffs[i] = Poseidon(seed_field, i)     — batched sponge on TPU
-    3. C = KZG commit = MSM(coeffs, SRS)       — Pippenger on TPU
-    4. z = Poseidon(C.x) challenge (Fiat-Shamir)
-    5. y = p(z); W = MSM((p - y)/(X - z), SRS) — opening proof on TPU
-    6. solution passes iff sha64(C || y) <= 2^64 / proof_target
+    2. leaves[i] = Poseidon(seed_field, i)     — batched sponge on TPU
+    3. coeffs = EpochProgram(epoch_hash)(leaves) — the per-epoch relation
+    4. C = KZG commit = MSM(coeffs, SRS)       — Pippenger on TPU
+    5. z = Poseidon(C.x) challenge (Fiat-Shamir)
+    6. y = p(z); W = MSM((p - y)/(X - z), SRS) — opening proof on TPU
+    7. solution passes iff sha64(C || y) <= 2^64 / proof_target
 
-  verify(solution): recompute z, check the pairing equation
+  verify(solution): re-derive the coefficients for (epoch_hash, address,
+    nonce) THROUGH THE EPOCH PROGRAM, check eval_y == p(z) (binds the
+    commitment to the epoch relation — without this, a constant
+    polynomial grinds the target with one scalar-mul per try), recompute
+    z, then the pairing equation
     e(C - y G, H) == e(W, tau H - z H)  (host-side pairings), plus target.
 
-Unlike the reference's prover (re-synthesizes an R1CS circuit per nonce),
-the verifier here is asymmetric and cheap: two pairings, no MSM/NTT.
+The EPOCH PROGRAM mirrors the reference's new-circuit-per-epoch property
+(node/src/prover/mod.rs:254-258 reaches snarkVM's synthesis puzzle, which
+synthesizes a fresh epoch-dependent R1CS each epoch): a pseudo-random
+arithmetic program — per-step wiring permutations, op selectors, and
+field constants all derived from the epoch hash — transforms the Poseidon
+leaves. TPU-first twist: the compiled dataflow is FIXED (one XLA program
+for every epoch); the per-epoch tensors arrive as runtime inputs, so
+epoch rollover costs zero recompilation while still defeating
+fixed-dataflow hardware and cross-epoch caching. Verification re-runs
+the program for ONE nonce (the reference's check_solution likewise
+re-synthesizes) but needs NO MSM — only a device dot product + pairings.
 The SRS is a deterministic dev setup (NOT a production ceremony).
 """
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import os
 import time
@@ -115,6 +130,97 @@ class PuzzleSRS:
         return cls(degree=degree, points=pts, srs_ref=srs_ref)
 
 
+# --------------------------------------------------------------------------
+# the epoch program (the per-epoch relation; see module docstring)
+# --------------------------------------------------------------------------
+
+EPOCH_STEPS = 12
+
+
+@functools.partial(jax.jit, static_argnums=())
+def _epoch_transform(v: jax.Array, perms: jax.Array, sels: jax.Array,
+                     consts: jax.Array) -> jax.Array:
+    """Run the epoch program: v (L, B, K) Montgomery leaves -> coefficients.
+
+    One lax.scan over EPOCH_STEPS; each step gathers a partner vector u by
+    the epoch wiring permutation and selects one of four arithmetic forms
+    per lane. All full-width vector ops — the dataflow is epoch-independent
+    (compiled once), the tensors are not."""
+    from snarkos_tpu.ops import modarith as fa
+
+    def step(v, inp):
+        perm, sel, c = inp  # (K,), (1, K), (L, K)
+        u = jnp.take(v, perm, axis=-1)
+        cb = c[:, None, :]  # broadcast over the nonce batch
+        sb = sel[None]  # (1, 1, K)
+        prod_vu = fa.mont_mul_impl(FR, v, u)
+        v2 = fa.mont_sqr_impl(FR, v)
+        u2 = fa.mont_sqr_impl(FR, u)
+        prod_vc = fa.mont_mul_impl(FR, v, cb)
+        cand0 = fa.add_impl(FR, prod_vu, cb)  # v*u + c
+        cand1 = fa.add_impl(FR, v2, u)  # v^2 + u
+        cand2 = fa.sub_impl(FR, prod_vc, u)  # v*c - u
+        cand3 = fa.add_impl(FR, fa.sub_impl(FR, v2, u2), cb)  # v^2 - u^2 + c
+        v = jnp.where(sb == 0, cand0,
+                      jnp.where(sb == 1, cand1,
+                                jnp.where(sb == 2, cand2, cand3)))
+        return v, None
+
+    out, _ = jax.lax.scan(step, v, (perms, sels, consts))
+    return out
+
+
+class EpochProgram:
+    """Per-epoch tensors: wiring permutations (EPOCH_STEPS, K), op
+    selectors (EPOCH_STEPS, 1, K), Montgomery constants (EPOCH_STEPS, L, K)
+    — all derived deterministically from the epoch hash."""
+
+    def __init__(self, epoch_hash: bytes, k: int):
+        self.epoch_hash = epoch_hash
+        seed = hashlib.sha256(b"snarkos_tpu.epoch.prog" + epoch_hash).digest()
+        rng = np.random.default_rng(np.frombuffer(seed, dtype=np.uint32))
+        self.perms = jnp.asarray(np.stack(
+            [rng.permutation(k) for _ in range(EPOCH_STEPS)]).astype(np.int32))
+        self.sels = jnp.asarray(
+            rng.integers(0, 4, size=(EPOCH_STEPS, 1, k), dtype=np.int32))
+        consts = FR.random(EPOCH_STEPS * k, rng)  # uniform limbs = uniform
+        self.consts = jnp.asarray(
+            consts.reshape(FR.nlimbs, EPOCH_STEPS, k).transpose(1, 0, 2))
+
+    def apply(self, leaves: jax.Array) -> jax.Array:
+        """(L, B, K) Montgomery leaves -> (L, B, K) coefficients."""
+        return _epoch_transform(leaves, self.perms, self.sels, self.consts)
+
+    def apply_host(self, leaves: list[int]) -> list[int]:
+        """Host reference of ``apply`` over canonical ints (Montgomery is
+        transparent to the +/-/* mix, so the canonical-domain recurrence
+        is identical). Used by verification tests and host-built vectors."""
+        R_ = params.FR_MODULUS
+        perms = np.asarray(self.perms)
+        sels = np.asarray(self.sels)[:, 0, :]
+        consts_c = [
+            FR.decode_fast(np.asarray(self.consts[s]), mont=True)
+            for s in range(EPOCH_STEPS)
+        ]
+        v = list(leaves)
+        k = len(v)
+        for s in range(EPOCH_STEPS):
+            perm, sel, c = perms[s], sels[s], consts_c[s]
+            u = [v[perm[i]] for i in range(k)]
+            nv = [0] * k
+            for i in range(k):
+                if sel[i] == 0:
+                    nv[i] = (v[i] * u[i] + c[i]) % R_
+                elif sel[i] == 1:
+                    nv[i] = (v[i] * v[i] + u[i]) % R_
+                elif sel[i] == 2:
+                    nv[i] = (v[i] * c[i] - u[i]) % R_
+                else:
+                    nv[i] = (v[i] * v[i] - u[i] * u[i] + c[i]) % R_
+            v = nv
+        return v
+
+
 @dataclass(frozen=True)
 class PuzzleSolutionData:
     """prove() output, pre-serialization (node/types.Solution carries it)."""
@@ -132,18 +238,37 @@ class Puzzle:
         self.log_degree = log_degree
         self.srs = PuzzleSRS.dev(log_degree)
         self.k = 1 << log_degree
+        self._programs: dict[bytes, EpochProgram] = {}
+
+    def epoch_program(self, epoch_hash: bytes) -> EpochProgram:
+        """The per-epoch relation (small LRU: current + adjacent epochs)."""
+        prog = self._programs.get(epoch_hash)
+        if prog is None:
+            prog = EpochProgram(epoch_hash, self.k)
+            if len(self._programs) > 4:
+                self._programs.clear()
+            self._programs[epoch_hash] = prog
+        return prog
 
     # -- coefficient generation (device) ------------------------------------
-    def _coeffs_device(self, seed_field: int) -> jax.Array:
-        """(L, K) Montgomery Fr coefficients via counter-mode Poseidon."""
-        k = self.k
-        seed = fa.broadcast_const(FR, seed_field, (k,))
-        idx = jnp.arange(k, dtype=jnp.int32)
-        ctr = jnp.zeros((FR.nlimbs, k), dtype=jnp.int32)
+    def _leaves_device(self, seed_fields: list[int]) -> jax.Array:
+        """(L, B, K) Montgomery Fr leaves via counter-mode Poseidon (one
+        batched dispatch for all B nonces)."""
+        k, b = self.k, len(seed_fields)
+        seed = jnp.concatenate(
+            [fa.broadcast_const(FR, s, (k,)) for s in seed_fields], axis=-1)
+        idx = jnp.tile(jnp.arange(k, dtype=jnp.int32), b)
+        ctr = jnp.zeros((FR.nlimbs, b * k), dtype=jnp.int32)
         ctr = ctr.at[0].set(idx & 0xFFFF).at[1].set(idx >> 16)
         ctr = fa.to_mont(FR, ctr)
-        inputs = jnp.stack([seed, ctr], axis=0)  # (2, L, K)
-        return poseidon_ops.hash_fixed(inputs, rate=2, domain=COEFF_DOMAIN)[0]
+        inputs = jnp.stack([seed, ctr], axis=0)  # (2, L, B*K)
+        leaves = poseidon_ops.hash_fixed(inputs, rate=2, domain=COEFF_DOMAIN)[0]
+        return leaves.reshape(FR.nlimbs, b, k)
+
+    def _coeffs_device(self, epoch_hash: bytes, seed_field: int) -> jax.Array:
+        """(L, K) coefficients: Poseidon leaves through the epoch program."""
+        leaves = self._leaves_device([seed_field])
+        return self.epoch_program(epoch_hash).apply(leaves)[:, 0, :]
 
     def _seed_field(self, epoch_hash: bytes, address: str, nonce: int) -> int:
         h = hashlib.sha256(epoch_hash + address.encode() + nonce.to_bytes(8, "little")).digest()
@@ -154,7 +279,7 @@ class Puzzle:
               proof_target: int | None = None) -> PuzzleSolutionData | None:
         """One puzzle iteration; returns None if the target is missed."""
         seed = self._seed_field(epoch_hash, address, nonce)
-        coeffs_mont = self._coeffs_device(seed)
+        coeffs_mont = self._coeffs_device(epoch_hash, seed)
         coeffs_canon = fa.from_mont(FR, coeffs_mont)
         # KZG commit: MSM(coeffs, SRS[0..K))
         commit_pt = msm_mod.msm(
@@ -191,33 +316,33 @@ class Puzzle:
         if not nonces:
             return []
         k = self.k
-        b = len(nonces)
-        # one batched Poseidon dispatch: (L, B*K) counter-mode lanes
+        # one batched Poseidon dispatch for all B nonces, then the epoch
+        # program over the (L, B, K) leaf tensor in one scan
         seeds = [self._seed_field(epoch_hash, address, n) for n in nonces]
-        seed_arr = jnp.concatenate(
-            [fa.broadcast_const(FR, s, (k,)) for s in seeds], axis=-1)
-        idx = jnp.tile(jnp.arange(k, dtype=jnp.int32), b)
-        ctr = jnp.zeros((FR.nlimbs, b * k), dtype=jnp.int32)
-        ctr = ctr.at[0].set(idx & 0xFFFF).at[1].set(idx >> 16)
-        ctr = fa.to_mont(FR, ctr)
-        inputs = jnp.stack([seed_arr, ctr], axis=0)
-        all_coeffs = poseidon_ops.hash_fixed(inputs, rate=2, domain=COEFF_DOMAIN)[0]
+        all_coeffs = self.epoch_program(epoch_hash).apply(
+            self._leaves_device(seeds))
 
-        out = []
         pts = _slice_points(self.srs.points, k)
-        for i, nonce in enumerate(nonces):
-            coeffs_mont = all_coeffs[:, i * k:(i + 1) * k]
-            coeffs_canon = fa.from_mont(FR, coeffs_mont)
-            commit_pt = msm_mod.msm(pts, coeffs_canon)
-            c_bytes = _g1_to_bytes(g1ops.decode_points(commit_pt)[0])
-            z = self._challenge(c_bytes)
-            y, witness_pt = kzg_ops.open_at(pts, coeffs_mont, z)
+        # STAGE-PARALLEL dispatch (r2 profile: the per-nonce loop spent
+        # ~85% of its time in host<->device sync barriers, 27 s for B=8 vs
+        # 4.6 s of actual stage work). JAX dispatch is async: queue ALL
+        # commit MSMs first, then pay ONE sync for the commitment fetches;
+        # compute the Fiat-Shamir challenges host-side; queue all opening
+        # evals+witness MSMs; one more sync for the witnesses.
+        commits = [msm_mod.msm(pts, fa.from_mont(FR, all_coeffs[:, i, :]))
+                   for i in range(len(nonces))]
+        c_bytes = [_g1_to_bytes(g1ops.decode_points(c)[0]) for c in commits]
+        zs = [self._challenge(cb) for cb in c_bytes]
+        opens = [kzg_ops.open_at(pts, all_coeffs[:, i, :], z)
+                 for i, z in enumerate(zs)]
+        out = []
+        for (y, witness_pt), cb in zip(opens, c_bytes):
             w_bytes = _g1_to_bytes(g1ops.decode_points(witness_pt)[0])
-            solution_id = sha64(c_bytes, y.to_bytes(32, "little"))
+            solution_id = sha64(cb, y.to_bytes(32, "little"))
             if proof_target is not None and not self.passes_target(solution_id, proof_target):
                 continue
             out.append(PuzzleSolutionData(
-                commitment=c_bytes, eval_y=y, witness=w_bytes,
+                commitment=cb, eval_y=y, witness=w_bytes,
                 solution_id=solution_id))
         return out
 
@@ -230,12 +355,32 @@ class Puzzle:
         return solution_id <= (1 << 64) // max(proof_target, 1)
 
     # -- verification --------------------------------------------------------
+    def check_binding(self, epoch_hash: bytes, address: str, nonce: int,
+                      commitment: bytes, eval_y: int) -> bool:
+        """The epoch-relation binding: re-derive the coefficients for
+        (epoch_hash, address, nonce) through the EPOCH PROGRAM and check
+        eval_y == p(z) at the Fiat-Shamir challenge z(C). Combined with the
+        pairing check (which proves the COMMITTED polynomial opens to
+        eval_y at z, with z sampled after C), this forces the committed
+        polynomial to equal the epoch-derived one whp — a proof computed
+        against a previous epoch's relation, another address, or a
+        hand-picked cheap polynomial is rejected here. Device cost: one
+        Poseidon batch + the epoch program + a dot product (no MSM)."""
+        from snarkos_tpu.ops import kzg as kzg_ops
+
+        seed = self._seed_field(epoch_hash, address, nonce)
+        coeffs_mont = self._coeffs_device(epoch_hash, seed)
+        z = self._challenge(commitment)
+        return kzg_ops.poly_eval(coeffs_mont, z) == eval_y % R
+
     def verify(self, epoch_hash: bytes, address: str, nonce: int,
                commitment: bytes, eval_y: int, witness: bytes,
                proof_target: int) -> bool:
-        """Cheap asymmetric check: target + pairing equation (host)."""
+        """Asymmetric check: target + epoch-program binding + pairing."""
         opening = self.check_structural(commitment, eval_y, witness, proof_target)
         if opening is None:
+            return False
+        if not self.check_binding(epoch_hash, address, nonce, commitment, eval_y):
             return False
         c_pt, z, y, w_pt = opening
         return ref_kzg.verify(self.srs.srs_ref, c_pt, z, y, w_pt)
@@ -261,20 +406,23 @@ class Puzzle:
     def verify_batch(self, items) -> bool:
         """Verify many solutions with TWO pairings total (all-or-nothing).
 
-        items: iterable of (commitment, eval_y, witness, proof_target).
-        The per-solution structural checks run individually; the pairing
-        equations collapse into one random-linear-combination batch
-        (ops/kzg.batch_verify — device MSM for the point side). The
-        reference verifies each gossiped solution separately on CPU
-        (ledger-service/src/ledger.rs:306-315); batching is the TPU-native
-        block-rate win. Callers fall back to verify() to isolate offenders.
+        items: iterable of (epoch_hash, address, nonce, commitment, eval_y,
+        witness, proof_target). The per-solution structural + epoch-binding
+        checks run individually; the pairing equations collapse into one
+        random-linear-combination batch (ops/kzg.batch_verify — device MSM
+        for the point side). The reference verifies each gossiped solution
+        separately on CPU (ledger-service/src/ledger.rs:306-315); batching
+        is the TPU-native block-rate win. Callers fall back to verify() to
+        isolate offenders.
         """
         from snarkos_tpu.ops import kzg as kzg_ops
 
         openings = []
-        for commitment, eval_y, witness, proof_target in items:
+        for epoch_hash, address, nonce, commitment, eval_y, witness, proof_target in items:
             opening = self.check_structural(commitment, eval_y, witness, proof_target)
             if opening is None:
+                return False
+            if not self.check_binding(epoch_hash, address, nonce, commitment, eval_y):
                 return False
             openings.append(opening)
         if not openings:

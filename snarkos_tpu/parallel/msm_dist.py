@@ -78,5 +78,9 @@ def msm_dist(
                 width = half
         return total
 
-    out = body(xs, ys, zs, sc)
+    # jit the shard_map call: the EAGER shard_map dispatch path bypasses
+    # the persistent compilation cache, so this graph (the slowest compile
+    # in the repo on XLA:CPU) would recompile on every process start —
+    # under jit it is compiled once and cached in .jax_cache.
+    out = jax.jit(body)(xs, ys, zs, sc)
     return g1ops.JacobianPoints(*out)

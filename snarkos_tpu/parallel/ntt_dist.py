@@ -108,7 +108,9 @@ def ntt_dist(x: jax.Array, mesh: Mesh, invert: bool = False, axis: str = "x") ->
         a = jax.lax.all_to_all(a, axis, split_axis=1, concat_axis=2, tiled=True)
         return a.reshape(L, (n2 // d) * n1)
 
-    return body(x, tw)
+    # jit the shard_map call: eager shard_map dispatch bypasses the
+    # persistent compilation cache (see parallel/msm_dist.py)
+    return jax.jit(body)(x, tw)
 
 
 def intt_dist(x: jax.Array, mesh: Mesh, axis: str = "x") -> jax.Array:

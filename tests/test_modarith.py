@@ -47,6 +47,23 @@ class TestModArith:
         got = spec.decode(np.array(modarith.mont_mul(spec, a, b)))
         assert got == [x * y % spec.p for x, y in zip(vals_a, vals_b)]
 
+    def test_mont_mul_unrolled_karatsuba(self, spec):
+        """The Pallas-kernel multiply (unrolled, one-level Karatsuba) must
+        be bit-identical to the reference product, including the
+        broadcast (L,1) x (L,B) form the kernels use for constants."""
+        import jax
+
+        vals_a, vals_b = _vectors(spec), _vectors(spec)[::-1]
+        a, b = jnp.array(spec.encode(vals_a)), jnp.array(spec.encode(vals_b))
+        assert modarith.KARATSUBA  # the shipped configuration
+        got = spec.decode(np.array(
+            jax.jit(modarith._mont_mul_unrolled, static_argnums=0)(spec, a, b)))
+        assert got == [x * y % spec.p for x, y in zip(vals_a, vals_b)]
+        one = jnp.array(spec.encode([vals_a[3]]))  # (L, 1) broadcast operand
+        got2 = spec.decode(np.array(
+            jax.jit(modarith._mont_mul_unrolled, static_argnums=0)(spec, one, b)))
+        assert got2 == [vals_a[3] * y % spec.p for y in vals_b]
+
     def test_mul_small(self, spec):
         vals = _vectors(spec, 16)
         a = jnp.array(spec.encode(vals))
