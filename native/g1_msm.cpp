@@ -18,139 +18,10 @@
 //   - out: Jacobian X||Y||Z canonical little-endian 48*3 bytes
 // Returns 0 on success.
 
-#include <cstdint>
 #include <cstring>
 #include <vector>
 
-typedef unsigned __int128 u128;
-typedef uint64_t u64;
-
-static const u64 Q[6] = {0x8508c00000000001ULL, 0x170b5d4430000000ULL,
-                         0x1ef3622fba094800ULL, 0x1a22d9f300f5138fULL,
-                         0xc63b05c06ca1493bULL, 0x01ae3a4617c510eaULL};
-static const u64 R2[6] = {0xb786686c9400cd22ULL, 0x0329fcaab00431b1ULL,
-                          0x22a5f11162d6b46dULL, 0xbfdf7d03827dc3acULL,
-                          0x837e92f041790bf9ULL, 0x006dfccb1e914b88ULL};
-static const u64 N0INV = 0x8508bfffffffffffULL;
-static const u64 ONE_MONT[6] = {0x02cdffffffffff68ULL, 0x51409f837fffffb1ULL,
-                                0x9f7db3a98a7d3ff2ULL, 0x7b4e97b76e7c6305ULL,
-                                0x4cf495bf803c84e8ULL, 0x008d6661e2fdf49aULL};
-
-struct Fq {
-  u64 v[6];
-};
-
-static inline bool fq_is_zero(const Fq &a) {
-  u64 acc = 0;
-  for (int i = 0; i < 6; i++) acc |= a.v[i];
-  return acc == 0;
-}
-
-static inline bool fq_eq(const Fq &a, const Fq &b) {
-  u64 acc = 0;
-  for (int i = 0; i < 6; i++) acc |= a.v[i] ^ b.v[i];
-  return acc == 0;
-}
-
-static inline bool geq_q(const u64 *a) {
-  for (int i = 5; i >= 0; i--) {
-    if (a[i] > Q[i]) return true;
-    if (a[i] < Q[i]) return false;
-  }
-  return true;  // equal
-}
-
-static inline void sub_q(u64 *a) {
-  u128 borrow = 0;
-  for (int i = 0; i < 6; i++) {
-    u128 d = (u128)a[i] - Q[i] - borrow;
-    a[i] = (u64)d;
-    borrow = (d >> 64) & 1;
-  }
-}
-
-static inline void fq_add(Fq &out, const Fq &a, const Fq &b) {
-  u128 carry = 0;
-  for (int i = 0; i < 6; i++) {
-    u128 s = (u128)a.v[i] + b.v[i] + carry;
-    out.v[i] = (u64)s;
-    carry = s >> 64;
-  }
-  if (carry || geq_q(out.v)) sub_q(out.v);
-}
-
-static inline void fq_sub(Fq &out, const Fq &a, const Fq &b) {
-  u128 borrow = 0;
-  u64 t[6];
-  for (int i = 0; i < 6; i++) {
-    u128 d = (u128)a.v[i] - b.v[i] - borrow;
-    t[i] = (u64)d;
-    borrow = (d >> 64) & 1;
-  }
-  if (borrow) {
-    u128 carry = 0;
-    for (int i = 0; i < 6; i++) {
-      u128 s = (u128)t[i] + Q[i] + carry;
-      t[i] = (u64)s;
-      carry = s >> 64;
-    }
-  }
-  std::memcpy(out.v, t, sizeof t);
-}
-
-static inline void fq_dbl(Fq &out, const Fq &a) { fq_add(out, a, a); }
-
-// CIOS Montgomery multiply: out = a * b * R^-1 mod q
-static void fq_mul(Fq &out, const Fq &a, const Fq &b) {
-  u64 t[8] = {0};
-  for (int i = 0; i < 6; i++) {
-    u128 carry = 0;
-    u64 ai = a.v[i];
-    for (int j = 0; j < 6; j++) {
-      u128 s = (u128)ai * b.v[j] + t[j] + carry;
-      t[j] = (u64)s;
-      carry = s >> 64;
-    }
-    u128 s = (u128)t[6] + carry;
-    t[6] = (u64)s;
-    t[7] = (u64)(s >> 64);
-
-    u64 m = t[0] * N0INV;
-    carry = 0;
-    u128 s0 = (u128)m * Q[0] + t[0];
-    carry = s0 >> 64;
-    for (int j = 1; j < 6; j++) {
-      u128 sj = (u128)m * Q[j] + t[j] + carry;
-      t[j - 1] = (u64)sj;
-      carry = sj >> 64;
-    }
-    s0 = (u128)t[6] + carry;
-    t[5] = (u64)s0;
-    carry = s0 >> 64;
-    t[6] = t[7] + (u64)carry;
-    t[7] = 0;
-  }
-  std::memcpy(out.v, t, 6 * sizeof(u64));
-  if (t[6] || geq_q(out.v)) sub_q(out.v);
-}
-
-static inline void fq_sqr(Fq &out, const Fq &a) { fq_mul(out, a, a); }
-
-static void fq_from_canonical(Fq &out, const u64 *canon) {
-  Fq tmp, r2;
-  std::memcpy(tmp.v, canon, 6 * sizeof(u64));
-  std::memcpy(r2.v, R2, 6 * sizeof(u64));
-  fq_mul(out, tmp, r2);
-}
-
-static void fq_to_canonical(u64 *out, const Fq &a) {
-  // multiply by 1 (non-Montgomery) = Montgomery reduce
-  Fq one_raw, res;
-  std::memset(one_raw.v, 0, sizeof one_raw.v);
-  one_raw.v[0] = 1;
-  fq_mul(res, a, one_raw);
-  std::memcpy(out, res.v, 6 * sizeof(u64));
-}
+#include "fq377.h"
 
 struct G1 {
   Fq x, y, z;  // Jacobian, Montgomery coords; z == 0 -> infinity
@@ -158,8 +29,8 @@ struct G1 {
 
 static void g1_set_infinity(G1 &p) {
   std::memset(&p, 0, sizeof p);
-  std::memcpy(p.x.v, ONE_MONT, sizeof p.x.v);
-  std::memcpy(p.y.v, ONE_MONT, sizeof p.y.v);
+  std::memcpy(p.x.v, FQ_ONE_MONT, sizeof p.x.v);
+  std::memcpy(p.y.v, FQ_ONE_MONT, sizeof p.y.v);
 }
 
 static inline bool g1_is_infinity(const G1 &p) { return fq_is_zero(p.z); }
@@ -261,7 +132,7 @@ static void g1_madd(G1 &out, const G1 &p, const Fq &qx, const Fq &qy) {
   if (g1_is_infinity(p)) {
     out.x = qx;
     out.y = qy;
-    std::memcpy(out.z.v, ONE_MONT, sizeof out.z.v);
+    std::memcpy(out.z.v, FQ_ONE_MONT, sizeof out.z.v);
     return;
   }
   Fq z1z1, u2, s2, t;
@@ -425,29 +296,11 @@ static u64 splitmix64(u64 &state) {
   return z ^ (z >> 31);
 }
 
-// Fermat inversion: a^(q-2). ~750 muls; used once per normalization chunk.
-static void fq_inv(Fq &out, const Fq &a) {
-  u64 e[6];
-  std::memcpy(e, Q, sizeof e);
-  e[0] -= 2;  // q is odd with q[0] >= 2: no borrow
-  Fq base = a, acc;
-  std::memcpy(acc.v, ONE_MONT, sizeof acc.v);
-  for (int limb = 0; limb < 6; limb++) {
-    u64 bits = e[limb];
-    for (int b = 0; b < 64; b++) {
-      if (bits & 1) fq_mul(acc, acc, base);
-      fq_sqr(base, base);
-      bits >>= 1;
-    }
-  }
-  out = acc;
-}
-
 // Batch-normalize jac[0..n) to affine Montgomery coords (Montgomery trick:
 // one fq_inv per call). Inputs must be finite.
 static void g1_batch_to_affine(G1 *jac, long n, Fq *ax, Fq *ay) {
   std::vector<Fq> prefix(n + 1);
-  std::memcpy(prefix[0].v, ONE_MONT, sizeof prefix[0].v);
+  std::memcpy(prefix[0].v, FQ_ONE_MONT, sizeof prefix[0].v);
   for (long i = 0; i < n; i++) fq_mul(prefix[i + 1], prefix[i], jac[i].z);
   Fq inv;
   fq_inv(inv, prefix[n]);
@@ -475,7 +328,7 @@ int g1_fixed_base_gen(u64 seed, long n, uint8_t *out_xy) {
   G1 base;
   fq_from_canonical(base.x, GEN_X);
   fq_from_canonical(base.y, GEN_Y);
-  std::memcpy(base.z.v, ONE_MONT, sizeof base.z.v);
+  std::memcpy(base.z.v, FQ_ONE_MONT, sizeof base.z.v);
   for (int w = 0; w < W; w++) {
     G1 cur = base;
     for (int d = 0; d < D; d++) {

@@ -91,13 +91,12 @@ def verify(srs: SRS, commitment, z: int, y: int, witness) -> bool:
     lhs_g1 = g1.add(commitment, g1.neg(g1.scalar_mul(y, g1.GENERATOR)))
     rhs_g2 = pairing.g2_add(srs.tau_h, pairing.g2_neg(pairing.g2_scalar_mul(z, srs.h)))
     # e(lhs, H) * e(-W, rhs) == 1
-    out = pairing.multi_pairing(
+    return pairing.pairing_check(
         [
             (g1.affine(lhs_g1), srs.h),
             (g1.affine(g1.neg(witness)), rhs_g2),
         ]
     )
-    return out == pairing.F12_ONE
 
 
 def batch_verify(srs: SRS, openings, rng_seed: int = 1) -> bool:
@@ -115,10 +114,9 @@ def batch_verify(srs: SRS, openings, rng_seed: int = 1) -> bool:
         acc_left = g1.add(acc_left, g1.scalar_mul(coeff, term))
         acc_w = g1.add(acc_w, g1.scalar_mul(coeff, witness))
         coeff = coeff * gamma % R
-    out = pairing.multi_pairing(
+    return pairing.pairing_check(
         [
             (g1.affine(acc_left), srs.h),
             (g1.affine(g1.neg(acc_w)), srs.tau_h),
         ]
     )
-    return out == pairing.F12_ONE

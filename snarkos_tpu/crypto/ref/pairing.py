@@ -202,6 +202,12 @@ def g2_neg(p):
 
 def g2_scalar_mul(k: int, p):
     k %= R
+    if k and p is not None:
+        from snarkos_tpu.utils import native
+
+        out = native.g2_scalar_mul(k, p)
+        if out is not None:
+            return out
     acc = None
     for bit in bin(k)[2:] if k else "":
         acc = g2_add(acc, acc)
@@ -296,12 +302,50 @@ def final_exponentiation(f):
 
 def pairing(p_g1, q_g2):
     """e(P, Q) in the r-th roots of unity subgroup of Fq12."""
-    return final_exponentiation(miller_loop(p_g1, q_g2))
+    return multi_pairing([(p_g1, q_g2)])
+
+
+def _normalize_pairs(pairs):
+    """G1 inputs may arrive Jacobian; convert to affine-or-None once so the
+    native engine and the Python loop see identical points."""
+    from snarkos_tpu.crypto.ref import g1 as g1ref
+
+    out = []
+    for p, q in pairs:
+        if p is not None and len(p) == 3:
+            p = g1ref.affine(p)
+        out.append((p, q))
+    return out
 
 
 def multi_pairing(pairs) -> tuple:
-    """prod_i e(P_i, Q_i) — shares the single final exponentiation."""
+    """prod_i e(P_i, Q_i) — shares the single final exponentiation.
+
+    Routes to the native engine (native/pairing377.cpp, bit-exact, ~6 ms)
+    when available; the pure-Python Miller loop below (~1 s/pairing) is the
+    auditable fallback and the parity ground truth."""
+    pairs = _normalize_pairs(pairs)
+    from snarkos_tpu.utils import native
+
+    out = native.multi_pairing(pairs)
+    if out is not None:
+        return out
     f = F12_ONE
     for p_g1, q_g2 in pairs:
         f = f12_mul(f, miller_loop(p_g1, q_g2))
     return final_exponentiation(f)
+
+
+def pairing_check(pairs) -> bool:
+    """prod_i e(P_i, Q_i) == 1. The hot admission path (every gossiped
+    transaction/solution ends here — reference
+    node/bft/ledger-service/src/ledger.rs:312,319-341): the native fast path
+    skips the exact-value correction (the final-exp image has prime order r,
+    gcd(3, r) = 1, so the cubed product is 1 iff the product is 1)."""
+    pairs = _normalize_pairs(pairs)
+    from snarkos_tpu.utils import native
+
+    out = native.pairing_check(pairs)
+    if out is not None:
+        return out
+    return multi_pairing(pairs) == F12_ONE

@@ -163,6 +163,12 @@ def hash_many(inputs: list[int], rate: int, num_outputs: int = 1, domain: str = 
     rate slots; the permutation runs after each full rate block and before
     each squeeze block.
     """
+    from snarkos_tpu.utils import native
+
+    out = native.poseidon_hash_many(inputs, rate, num_outputs,
+                                    _domain_to_field(domain))
+    if out is not None:
+        return out
     t = rate + CAPACITY
     state = [0] * t
     state[0] = _domain_to_field(domain)

@@ -323,17 +323,25 @@ class Client(_BaseNode):
         ))
 
     async def _on_unconfirmed_solution(self, addr, peer, m: msg.UnconfirmedSolution):
+        # Verification runs off the event loop (reference uses spawn_blocking,
+        # ledger.rs:312): a slow verify must not stall frame decoding for
+        # every connected peer.
         sol = m.deserialize()
         try:
-            self.ledger_service.check_solution_basic(sol)
+            await asyncio.get_event_loop().run_in_executor(
+                None, self.ledger_service.check_solution_basic, sol
+            )
         except ValueError:
             return
         self.router.propagate(m, exclude={addr})
 
     async def _on_unconfirmed_transaction(self, addr, peer, m: msg.UnconfirmedTransaction):
+        # Off-loop for the same reason (reference ledger.rs:341).
         tx = m.deserialize()
         try:
-            self.ledger_service.check_transaction_basic(tx)
+            await asyncio.get_event_loop().run_in_executor(
+                None, self.ledger_service.check_transaction_basic, tx
+            )
         except ValueError:
             return
         self.router.propagate(m, exclude={addr})

@@ -198,10 +198,9 @@ def batch_verify(srs_ref, openings, gamma: int | None = None,
     acc_w = _padded_msm(w_pts, list(coeffs))
     left_jac = g1ops.decode_points(acc_left)[0]
     w_jac = g1ops.decode_points(acc_w)[0]
-    out = pairing.multi_pairing(
+    return pairing.pairing_check(
         [
             (ref_g1.affine(left_jac), srs_ref.h),
             (ref_g1.affine(ref_g1.neg(w_jac)), srs_ref.tau_h),
         ]
     )
-    return out == pairing.F12_ONE

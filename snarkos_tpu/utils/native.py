@@ -174,3 +174,188 @@ def g1_msm(scalars: list, affine_points: list):
     raw = out.raw
     return tuple(int.from_bytes(raw[i * 48:(i + 1) * 48], "little")
                  for i in range(3))
+
+
+# -- native BLS12-377 pairing engine (native/pairing377.cpp) -----------------
+
+_PAIR_LIB_PATH = os.path.join(_NATIVE_DIR, "libpairing377.so")
+_PAIR_LIB = None
+_PAIR_TRIED = False
+
+
+def _load_pairing():
+    global _PAIR_LIB, _PAIR_TRIED
+    if _PAIR_TRIED:
+        return _PAIR_LIB
+    _PAIR_TRIED = True
+    try:
+        if not os.path.exists(_PAIR_LIB_PATH):
+            subprocess.run(["make", "-C", _NATIVE_DIR, "libpairing377.so"],
+                           check=True, capture_output=True, timeout=120)
+        lib = ctypes.CDLL(_PAIR_LIB_PATH)
+        lib.pairing377_multi.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                         ctypes.c_long, ctypes.c_char_p]
+        lib.pairing377_multi.restype = ctypes.c_int
+        lib.pairing377_check.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                         ctypes.c_long]
+        lib.pairing377_check.restype = ctypes.c_int
+        lib.g2_scalar_mul377.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                         ctypes.c_char_p]
+        lib.g2_scalar_mul377.restype = ctypes.c_int
+        _PAIR_LIB = lib
+    except Exception as exc:  # pragma: no cover
+        log.debug("native pairing engine unavailable: %s", exc)
+        _PAIR_LIB = None
+    return _PAIR_LIB
+
+
+def have_pairing() -> bool:
+    return _load_pairing() is not None
+
+
+def _enc_g1_affine(p) -> bytes:
+    """Affine (x, y) canonical ints -> 96 LE bytes; None -> all-zero (inf)."""
+    if p is None:
+        return b"\0" * 96
+    return int(p[0]).to_bytes(48, "little") + int(p[1]).to_bytes(48, "little")
+
+
+def _enc_g2_affine(q) -> bytes:
+    """Affine ((x0,x1),(y0,y1)) -> 192 LE bytes; None -> all-zero (inf)."""
+    if q is None:
+        return b"\0" * 192
+    (x0, x1), (y0, y1) = q
+    return b"".join(int(v).to_bytes(48, "little") for v in (x0, x1, y0, y1))
+
+
+def pairing_check(pairs) -> bool | None:
+    """prod_i e(P_i, Q_i) == 1? pairs: [(g1_affine, g2_affine)], None = inf.
+    Returns True/False, or None if the native engine is missing or an input
+    point is off-curve (caller falls back to the Python path, which decides
+    what malformed means)."""
+    lib = _load_pairing()
+    if lib is None:
+        return None
+    g1b = b"".join(_enc_g1_affine(p) for p, _ in pairs)
+    g2b = b"".join(_enc_g2_affine(q) for _, q in pairs)
+    rc = lib.pairing377_check(g1b, g2b, len(pairs))
+    if rc < 0:
+        return None
+    return rc == 1
+
+
+def multi_pairing(pairs):
+    """Exact reduced pairing product, bit-exact vs crypto/ref/pairing.py.
+    Returns the flat-basis Fq12 tuple ((c0a, c0b), ..., (c5a, c5b)), or
+    None if the engine is missing / input malformed."""
+    lib = _load_pairing()
+    if lib is None:
+        return None
+    g1b = b"".join(_enc_g1_affine(p) for p, _ in pairs)
+    g2b = b"".join(_enc_g2_affine(q) for _, q in pairs)
+    out = ctypes.create_string_buffer(1152)
+    if lib.pairing377_multi(g1b, g2b, len(pairs), out) != 0:
+        return None
+    raw = out.raw
+    return tuple(
+        (int.from_bytes(raw[i * 96:i * 96 + 48], "little"),
+         int.from_bytes(raw[i * 96 + 48:i * 96 + 96], "little"))
+        for i in range(6)
+    )
+
+
+def g2_scalar_mul(k: int, q):
+    """k * Q on the G2 twist; affine in/out (None = infinity). Returns the
+    affine pair or None if the engine is missing / input malformed."""
+    lib = _load_pairing()
+    if lib is None:
+        return None
+    out = ctypes.create_string_buffer(192)
+    if lib.g2_scalar_mul377(int(k).to_bytes(32, "little"),
+                            _enc_g2_affine(q), out) != 0:
+        return None
+    raw = out.raw
+    if not any(raw):
+        return None  # infinity — callers treat None result as engine-missing,
+        # so infinity is returned as the Python-convention None via sentinel
+    return (
+        (int.from_bytes(raw[0:48], "little"), int.from_bytes(raw[48:96], "little")),
+        (int.from_bytes(raw[96:144], "little"), int.from_bytes(raw[144:192], "little")),
+    )
+
+
+# -- native Poseidon-Fr sponge (native/poseidon377.cpp) ----------------------
+
+_POS_LIB_PATH = os.path.join(_NATIVE_DIR, "libposeidon377.so")
+_POS_LIB = None
+_POS_TRIED = False
+_POS_INITED_RATES: set = set()
+
+
+def _load_poseidon():
+    global _POS_LIB, _POS_TRIED
+    if _POS_TRIED:
+        return _POS_LIB
+    _POS_TRIED = True
+    try:
+        if not os.path.exists(_POS_LIB_PATH):
+            subprocess.run(["make", "-C", _NATIVE_DIR, "libposeidon377.so"],
+                           check=True, capture_output=True, timeout=120)
+        lib = ctypes.CDLL(_POS_LIB_PATH)
+        lib.poseidon377_init.argtypes = [ctypes.c_int, ctypes.c_char_p,
+                                         ctypes.c_char_p]
+        lib.poseidon377_init.restype = ctypes.c_int
+        lib.poseidon377_hash_many.argtypes = [
+            ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_long,
+            ctypes.c_char_p, ctypes.c_long,
+        ]
+        lib.poseidon377_hash_many.restype = ctypes.c_int
+        lib.poseidon377_permute.argtypes = [ctypes.c_int, ctypes.c_char_p]
+        lib.poseidon377_permute.restype = ctypes.c_int
+        _POS_LIB = lib
+    except Exception as exc:  # pragma: no cover
+        log.debug("native poseidon engine unavailable: %s", exc)
+        _POS_LIB = None
+    return _POS_LIB
+
+
+def have_poseidon() -> bool:
+    return _load_poseidon() is not None
+
+
+def _poseidon_ensure_rate(lib, rate: int) -> bool:
+    """Generate (Python Grain-LFSR) and register ark/mds for a rate once."""
+    if rate in _POS_INITED_RATES:
+        return True
+    if not (1 <= rate <= 8):
+        return False
+    from snarkos_tpu.crypto.ref import poseidon as pref
+
+    ark, mds = pref.poseidon_params(rate)
+    ark_b = b"".join(int(c).to_bytes(32, "little") for row in ark for c in row)
+    mds_b = b"".join(int(c).to_bytes(32, "little") for row in mds for c in row)
+    if lib.poseidon377_init(rate, ark_b, mds_b) != 0:
+        return False
+    _POS_INITED_RATES.add(rate)
+    return True
+
+
+def poseidon_hash_many(inputs, rate: int, num_outputs: int, domain_field: int):
+    """Native duplex-sponge hash; returns list of canonical ints, or None
+    if the engine is missing (caller falls back to pure Python)."""
+    lib = _load_poseidon()
+    if lib is None or not _poseidon_ensure_rate(lib, rate):
+        return None
+    from snarkos_tpu.crypto.params import FR_MODULUS
+
+    inp = b"".join(int(x % FR_MODULUS).to_bytes(32, "little") for x in inputs)
+    out = ctypes.create_string_buffer(32 * num_outputs)
+    rc = lib.poseidon377_hash_many(
+        rate, int(domain_field).to_bytes(32, "little"), inp, len(inputs),
+        out, num_outputs,
+    )
+    if rc != 0:
+        return None
+    raw = out.raw
+    return [int.from_bytes(raw[i * 32:(i + 1) * 32], "little")
+            for i in range(num_outputs)]
