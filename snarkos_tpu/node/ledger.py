@@ -217,6 +217,12 @@ class Ledger:
         # rides the payload and the serial blocks replays)
         self.record_ciphertexts: dict[int, list[bytes]] = {}
         self.spent_serials: set[bytes] = set()
+        # Merkle ledger state tree (reference routes.rs:252-269): per-height
+        # roots over (block history + transmission ids + mapping state),
+        # rebuilt deterministically during replay by _index_block.
+        from snarkos_tpu.node.state_tree import StateTree
+
+        self.state_tree = StateTree()
         self.lock = threading.RLock()
         self._load_or_init()
 
@@ -258,6 +264,8 @@ class Ledger:
         if block.subdag:
             for cert in block.subdag.all_certificates():
                 self.committed_cert_ids.add(cert.id)
+        # state root AFTER this block's program ops are applied
+        self.state_tree.append_block(block, self.mappings)
         if block.height == 0:
             self._apply_genesis_ratifications()
         self._update_committee_from_state(block)
@@ -447,6 +455,26 @@ class Ledger:
 
     def get_mapping(self, program_id: str, mapping: str) -> dict[str, str]:
         return dict(self.mappings.get((program_id, mapping), {}))
+
+    # -- state tree (reference routes.rs:252-269, 331-338) -------------------
+    @property
+    def latest_state_root(self) -> bytes:
+        return self.state_tree.state_roots[-1]
+
+    def state_root_at(self, height: int) -> Optional[bytes]:
+        return self.state_tree.state_root(height)
+
+    def find_block_height_by_state_root(self, root: bytes) -> Optional[int]:
+        return self.state_tree.height_of_root(root)
+
+    def state_path_for_transmission(self, tid_digest: bytes) -> Optional[dict]:
+        with self.lock:
+            return self.state_tree.transmission_path(self.blocks, tid_digest)
+
+    def state_path_for_mapping(self, program: str, mapping: str,
+                               key: str) -> Optional[dict]:
+        with self.lock:
+            return self.state_tree.mapping_path(program, mapping, key)
 
     # -- queries -------------------------------------------------------------
     @property

@@ -225,7 +225,10 @@ class Rest:
                 return 200, [{"id": t.id.digest.hex(), "kind": t.kind,
                               "data": t.data.hex()} for t in block.transmissions]
             case ["latest", "stateRoot"] | ["stateRoot", "latest"]:
-                return 200, ledger.latest_block.hash.hex()
+                # genuine Merkle ledger root (state_tree.py), not the block
+                # hash: commits block history + transmissions + mappings
+                # (routes.rs:252-255)
+                return 200, ledger.latest_state_root.hex()
             case ["block", spec]:
                 if spec.isdigit():
                     return 200, _block_json(ledger.get_block(int(spec)))
@@ -339,10 +342,16 @@ class Rest:
                     if any(t.id.digest == want for t in block.transmissions):
                         return 200, block.hash.hex()
                 return 404, {"error": "transaction not found"}
-            case ["find", "blockHeight", hash_hex]:
-                height = ledger.block_index.get(bytes.fromhex(hash_hex))
+            case ["find", "blockHeight", spec_hex]:
+                # reference semantics: lookup by STATE ROOT
+                # (routes.rs:331-338); block-hash lookup kept as a
+                # convenience fallback
+                want = bytes.fromhex(spec_hex)
+                height = ledger.find_block_height_by_state_root(want)
                 if height is None:
-                    return 404, {"error": "unknown block hash"}
+                    height = ledger.block_index.get(want)
+                if height is None:
+                    return 404, {"error": "unknown state root"}
                 return 200, height
             case ["find", "transactionID", "deployment", program_id]:
                 # deployment payloads declare "program <id>" (cli deploy)
@@ -373,18 +382,23 @@ class Rest:
                             return 200, sha256d(t.deserialize().payload).hex()
                 return 404, {"error": "transaction not found"}
             case ["stateRoot", spec] if spec.isdigit():
-                # the chain commitment at a height is that block's hash
-                return 200, ledger.get_block(int(spec)).hash.hex()
+                root = ledger.state_root_at(int(spec))
+                if root is None:
+                    return 404, {"error": "unknown height"}
+                return 200, root.hex()
+            case ["statePath", "mapping", program_id, mapping, key]:
+                proof = ledger.state_path_for_mapping(program_id, mapping, key)
+                if proof is None:
+                    return 404, {"error": "mapping entry not found"}
+                return 200, proof
             case ["statePath", tid_hex]:
-                # inclusion path: block hash chain from the containing block
-                # to the tip (hash-linked, so the path is verifiable)
-                want = bytes.fromhex(tid_hex)
-                for block in reversed(ledger.blocks):
-                    if any(t.id.digest == want for t in block.transmissions):
-                        path = [ledger.get_block(h).hash.hex()
-                                for h in range(block.height, ledger.latest_height + 1)]
-                        return 200, {"block_height": block.height, "path": path}
-                return 404, {"error": "transaction not found"}
+                # Merkle inclusion proof under the latest state root
+                # (state_tree.verify_transmission_path checks it;
+                # routes.rs:256-269 statePath semantics)
+                proof = ledger.state_path_for_transmission(bytes.fromhex(tid_hex))
+                if proof is None:
+                    return 404, {"error": "transaction not found"}
+                return 200, proof
             # program/mapping reads (lib.rs:132-191 program routes). The
             # full-mapping dump is JWT-guarded like the reference's bulk
             # mapping reads (helpers/auth.rs).
