@@ -204,7 +204,7 @@ def get_index(srs: kzg.SRS, cs: R1CS) -> Index:
     idx = _INDEX_CACHE.get(key)
     if idx is None:
         idx = index_circuit(srs, cs)
-        if len(_INDEX_CACHE) > 8:
+        if len(_INDEX_CACHE) > 32:
             _INDEX_CACHE.clear()
         _INDEX_CACHE[key] = idx
     return idx

@@ -402,6 +402,24 @@ class Ledger:
                     raise avm.HaltError(f"unknown function {fn_name!r}")
                 if len(args_toks) != len(fn.inputs):
                     raise avm.HaltError("input arity mismatch")
+                # SNARK-verified path: a transaction carrying a (gossip/
+                # block-admission-verified) execution proof for a provable
+                # function commits WITHOUT re-executing the body — the
+                # claimed finalize args are exactly what the proof binds
+                # (reference semantics: the transition proof enforces the
+                # function, finalize runs on-chain, ledger.rs:366-383)
+                if tx.exec_proof and exec_circuit_for(prog, fn_name) is not None:
+                    claimed = _parse_exec_outs(prog, fn_name, tx.exec_outs)
+                    if claimed is None:
+                        raise avm.HaltError("malformed exec outputs")
+                    if fn.finalize_name is not None:
+                        n_fin = len(prog.finalizes[fn.finalize_name].inputs)
+                        call = avm.FinalizeCall(
+                            program_id=prog.id, function=fn.finalize_name,
+                            args=claimed[:n_fin])
+                        store = avm.MappingStore(self.mappings)
+                        avm.execute_finalize(prog, call, store, ctx)
+                    return
                 args, serials = [], []
                 for t, (_, ty, _) in zip(args_toks, fn.inputs):
                     if ty in prog.records:
@@ -587,7 +605,8 @@ class Ledger:
                     raise ValueError("invalid solution in block")
                 openings.append(opening)
             else:
-                tx_openings = transaction_opening(obj)  # [beta, delta] pair
+                # [beta, delta] pairs for auth AND (if provable) execution
+                tx_openings = transaction_opening(obj, self.parsed_programs)
                 if tx_openings is None:
                     raise ValueError("invalid transaction in block")
                 openings.extend(tx_openings)
@@ -716,11 +735,259 @@ def transaction_binding(payload: bytes, fee: int) -> int:
     return int.from_bytes(h, "little") % R
 
 
-def transaction_opening(tx: Transaction):
+# --------------------------------------------------------------------------
+# execution proofs (vm/circuit.py): per-function Varuna proofs of the
+# register trace, the analogue of snarkVM's per-transition execution
+# proofs created at cli/src/commands/developer/execute.rs:88 and verified
+# at ledger-service/src/ledger.rs:319-341
+# --------------------------------------------------------------------------
+
+_EXEC_SRS_CACHE: dict = {}
+_CREDITS_PARSED = None
+
+
+def credits_program():
+    """The built-in credits.aleo Program (parsed once)."""
+    global _CREDITS_PARSED
+    if _CREDITS_PARSED is None:
+        from snarkos_tpu import vm as avm
+
+        _CREDITS_PARSED = avm.parse_program(CREDITS_PROGRAM)
+    return _CREDITS_PARSED
+
+
+def execution_srs(need: int):
+    """Trimmed SRS for an execution circuit (same dev-tau family as the
+    puzzle/auth SRS so all pairings batch into one multi-pairing; the
+    trim is REQUIRED for the degree-bound shadow soundness)."""
+    srs = _EXEC_SRS_CACHE.get(need)
+    if srs is None:
+        from snarkos_tpu.ops.puzzle import global_puzzle
+
+        base = global_puzzle().srs.srs_ref
+        if len(base.powers_g1) >= need + 1:
+            srs = ref_kzg.SRS(powers_g1=base.powers_g1[: need + 1],
+                              h=base.h, tau_h=base.tau_h)
+        else:
+            tau = pow(params.FR_GENERATOR, 0xDEADBEEF, R)
+            srs = ref_kzg.SRS.setup(need, tau=tau)
+        _EXEC_SRS_CACHE[need] = srs
+    return srs
+
+
+def _address_field(addr: str) -> int:
+    """Public-input encoding of a caller address (0 for anonymous)."""
+    if not addr or addr == ZERO_ADDRESS:
+        return 0
+    from snarkos_tpu.node.types import address_to_point
+
+    return address_to_point(addr)[0] % R
+
+
+def _parse_execute_payload(payload: bytes):
+    """-> (program_id, fn_name, caller, sig_tok, args_toks) or None."""
+    if not payload.startswith(b"execute "):
+        return None
+    toks = payload[len(b"execute "):].decode(errors="replace").split()
+    if not toks:
+        return None
+    program_id, _, fn_name = toks[0].partition("/")
+    args_toks = toks[1:]
+    caller, sig_tok = ZERO_ADDRESS, None
+    if args_toks and args_toks[0].startswith("caller:"):
+        caller = args_toks[0][len("caller:"):]
+        args_toks = args_toks[1:]
+        if args_toks and args_toks[0].startswith("sig:"):
+            sig_tok, args_toks = args_toks[0], args_toks[1:]
+    return program_id, fn_name, caller, sig_tok, args_toks
+
+
+def exec_circuit_for(program, fn_name: str):
+    """(circuit, trimmed srs) for a provable function, else None."""
+    from snarkos_tpu.crypto.ref import varuna
+    from snarkos_tpu.vm import circuit as vmc
+
+    try:
+        circ = vmc.compile_function(program, fn_name)
+    except vmc.SynthesisUnsupported:
+        return None
+    except Exception:
+        return None
+    srs = execution_srs(varuna.required_srs_degree(circ.cs))
+    return circ, srs
+
+
+def _exec_output_types(program, fn_name: str) -> list | None:
+    """Declared claimed-output types: finalize input types (minus none),
+    then literal (non-future) output types."""
+    fn = program.functions.get(fn_name)
+    if fn is None:
+        return None
+    tys = []
+    if fn.finalize_name is not None:
+        fin = program.finalizes.get(fn.finalize_name)
+        if fin is None or len(fin.inputs) != len(fn.finalize_args):
+            return None
+        tys += [ty for (_r, ty) in fin.inputs]
+    tys += [ty for (_t, ty) in fn.outputs
+            if not (ty.endswith(".future") or "/" in ty)]
+    return tys
+
+
+def _parse_exec_outs(program, fn_name: str, exec_outs: bytes):
+    """Claimed outputs -> list[vm Value], or None if malformed."""
+    from snarkos_tpu import vm as avm
+
+    tys = _exec_output_types(program, fn_name)
+    if tys is None:
+        return None
+    toks = exec_outs.decode(errors="replace").split()
+    if len(toks) != len(tys):
+        return None
+    try:
+        return [avm.parse_typed(t, ty) for t, ty in zip(toks, tys)]
+    except Exception:
+        return None
+
+
+def execution_openings(tx: Transaction, programs: dict):
+    """Verify the execution proof of an execute transaction (pairing-free
+    part) and return its KZG openings for batching.
+
+    Returns [] when no execution proof is required (unknown program,
+    unsupported function, non-execute payload) and None when a required
+    proof is missing or invalid."""
+    from snarkos_tpu.crypto.ref import varuna
+    from snarkos_tpu.vm import circuit as vmc
+
+    parts = _parse_execute_payload(tx.payload)
+    if parts is None:
+        return []
+    program_id, fn_name, caller, _sig, args_toks = parts
+    program = programs.get(program_id)
+    if program is None or fn_name not in program.functions:
+        return []
+    ctx = exec_circuit_for(program, fn_name)
+    if ctx is None:
+        return []
+    circ, srs = ctx
+    if not tx.exec_proof:
+        return None
+    from snarkos_tpu import vm as avm
+
+    fn = program.functions[fn_name]
+    if len(args_toks) != len(fn.inputs):
+        return None
+    try:
+        args = [avm.parse_typed(t, ty) for t, (_r, ty, _v) in zip(args_toks, fn.inputs)]
+        input_fields = [vmc.value_to_public_field(v) for v in args]
+    except Exception:
+        return None
+    outs = _parse_exec_outs(program, fn_name, tx.exec_outs)
+    if outs is None:
+        return None
+    try:
+        output_fields = [vmc.value_to_public_field(v) for v in outs]
+    except vmc.SynthesisUnsupported:
+        return None
+    publics = vmc.build_publics(circ, _address_field(caller), input_fields,
+                                output_fields)
+    if publics is None:
+        return None
+    try:
+        proof = varuna.VarunaProof.deserialize(tx.exec_proof)
+    except Exception:
+        return None
+    return varuna.verify_prepare(circ.cs, publics, proof, srs=srs)
+
+
+def deployment_vk_check(tx: Transaction) -> bool:
+    """Deployment verifying-key certification: the deploy must carry the
+    digest of every provable function's Varuna index, and they must match
+    local synthesis (reference: snarkVM check_deployment certifies the
+    deployment's verifying keys at admission)."""
+    from snarkos_tpu import vm as avm
+
+    if not tx.payload.startswith(b"program "):
+        return True  # legacy non-program deploys carry no circuits
+    try:
+        program = avm.parse_program(tx.payload.decode(errors="replace"))
+    except avm.ParseError:
+        return True
+    expected = deployment_vk_digests(program)
+    claimed = dict(
+        tok.split(":", 1) for tok in tx.exec_outs.decode(errors="replace").split()
+        if ":" in tok
+    ) if tx.exec_outs else {}
+    return claimed == {fn: d.hex() for fn, d in expected.items()}
+
+
+def deployment_vk_digests(program) -> dict:
+    """fn name -> vk digest for every provable function of ``program``."""
+    from snarkos_tpu.vm import circuit as vmc
+
+    out = {}
+    for fn_name in program.functions:
+        ctx = exec_circuit_for(program, fn_name)
+        if ctx is None:
+            continue
+        circ, srs = ctx
+        out[fn_name] = vmc.vk_digest(circ, srs)
+    return out
+
+
+def prove_execution(payload: bytes, fee: int, key: int, program) -> tuple:
+    """(exec_proof, exec_outs) for an execute payload, or (b"", b"") when
+    the target function is not provable. Raises on a faulting trace."""
+    from snarkos_tpu import vm as avm
+    from snarkos_tpu.crypto.ref import varuna
+    from snarkos_tpu.vm import circuit as vmc
+    from snarkos_tpu.vm import values as vmv
+
+    parts = _parse_execute_payload(payload)
+    if parts is None or program is None:
+        return b"", b""
+    program_id, fn_name, caller, _sig, args_toks = parts
+    if isinstance(program, str):
+        program = avm.parse_program(program)
+    if program.id != program_id or fn_name not in program.functions:
+        return b"", b""
+    ctx = exec_circuit_for(program, fn_name)
+    if ctx is None:
+        return b"", b""
+    circ, srs = ctx
+    fn = program.functions[fn_name]
+    args = [avm.parse_typed(t, ty) for t, (_r, ty, _v) in zip(args_toks, fn.inputs)]
+    # interpreter pass for the claimed outputs (printable tokens)
+    ectx = avm.ExecContext(program=program, caller=caller, block_height=0,
+                           tx_seed=b"prove")
+    result = avm.execute_function(program, fn_name, args, ectx)
+    toks = []
+    if result.finalize is not None:
+        toks += [vmv.format_value(v) for v in result.finalize.args]
+    for out, (_t, ty) in zip(result.outputs, fn.outputs):
+        if not (ty.endswith(".future") or "/" in ty):
+            toks.append(vmv.format_value(out))
+    exec_outs = " ".join(toks).encode()
+    _circ, z, _pub = vmc.trace_execution(program, fn_name, args,
+                                         _address_field(caller))
+    mask_seed = hashlib.sha256(b"snarkos_tpu.exec.mask"
+                               + key.to_bytes(32, "little") + payload).digest()
+    proof = varuna.prove(srs, circ.cs, z, mask_seed=mask_seed)
+    return proof.serialize(), exec_outs
+
+
+def transaction_opening(tx: Transaction, programs: dict | None = None):
     """Pairing-free Varuna verification (full transcript, rowcheck,
     lincheck, holographic matrix sumchecks, degree-bound shadows);
     returns the final LIST of (C, z, y, W) openings (beta + delta points)
-    for (batched) pairing verification, or None if any check fails."""
+    for (batched) pairing verification, or None if any check fails.
+
+    With ``programs`` (the ledger's parsed-program registry) the
+    EXECUTION proof is also required and checked for provable functions
+    (vm/circuit.py), and deployments must carry matching verifying-key
+    digests — the reference semantics of ledger.rs:319-341 +
+    check_deployment."""
     from snarkos_tpu.crypto.ref import varuna
 
     cs, _, srs = global_varuna()
@@ -731,15 +998,27 @@ def transaction_opening(tx: Transaction):
     except Exception:
         return None
     m = transaction_binding(tx.payload, tx.fee)
-    return varuna.verify_prepare(cs, [1, m, tx.auth_tag, 0], proof, srs=srs)
+    openings = varuna.verify_prepare(cs, [1, m, tx.auth_tag, 0], proof, srs=srs)
+    if openings is None:
+        return None
+    if programs is not None:
+        if tx.is_deploy:
+            if not deployment_vk_check(tx):
+                return None
+        else:
+            exec_ops = execution_openings(tx, programs)
+            if exec_ops is None:
+                return None
+            openings = openings + exec_ops
+    return openings
 
 
-def verify_transaction(tx: Transaction) -> bool:
+def verify_transaction(tx: Transaction, programs: dict | None = None) -> bool:
     """FULL verification, pairings included — the per-gossip admission
     check (reference verifies every gossiped tx completely,
     ledger.rs:318-343)."""
     cs, _, srs = global_varuna()
-    openings = transaction_opening(tx)
+    openings = transaction_opening(tx, programs)
     if openings is None:
         return False
     return ref_kzg.batch_verify(srs, openings)
@@ -770,11 +1049,18 @@ def sign_execute_payload(payload: bytes, fee: int, account) -> bytes:
 
 
 def create_transaction(payload: bytes, fee: int = 0, key: int | None = None,
-                       is_deploy: bool = False, account=None) -> Transaction:
+                       is_deploy: bool = False, account=None,
+                       program=None) -> Transaction:
     """Build a valid transaction: prove knowledge of the authorization key
     k with Poseidon2(k, m) = auth_tag (host prover; the device prover is
     ops/varuna.py). Passing ``account`` (an edwards.Account) signs an
-    execute payload's caller binding (sign_execute_payload)."""
+    execute payload's caller binding (sign_execute_payload).
+
+    Execute payloads against a provable function additionally carry a
+    Varuna EXECUTION proof of the register trace (vm/circuit.py);
+    ``program`` supplies the parsed Program (or source) — credits.aleo is
+    resolved automatically. Deploys of parsable programs carry their
+    verifying-key digests (certified at admission)."""
     from snarkos_tpu.crypto.ref import r1cs as r1cs_mod
     from snarkos_tpu.crypto.ref import varuna
 
@@ -794,9 +1080,27 @@ def create_transaction(payload: bytes, fee: int = 0, key: int | None = None,
         b"snarkos_tpu.tx.mask" + key.to_bytes(32, "little")
         + fee.to_bytes(8, "little") + payload).digest()
     proof = varuna.prove(srs, cs, z, mask_seed=mask_seed)
+    exec_proof = exec_outs = b""
+    if not is_deploy and payload.startswith(b"execute "):
+        parts = _parse_execute_payload(payload)
+        if program is None and parts is not None and parts[0] == "credits.aleo":
+            program = credits_program()
+        if program is not None:
+            exec_proof, exec_outs = prove_execution(payload, fee, key, program)
+    elif is_deploy and payload.startswith(b"program "):
+        from snarkos_tpu import vm as avm
+
+        try:
+            prog = avm.parse_program(payload.decode(errors="replace"))
+            digests = deployment_vk_digests(prog)
+            exec_outs = " ".join(
+                f"{fn}:{d.hex()}" for fn, d in sorted(digests.items())).encode()
+        except avm.ParseError:
+            pass
     return Transaction(
         payload=payload, fee=fee, auth_tag=tag,
         proof=proof.serialize(), is_deploy=is_deploy,
+        exec_proof=exec_proof, exec_outs=exec_outs,
     )
 
 
@@ -871,7 +1175,7 @@ class CoreLedgerService(LedgerService):
             return
         if cached is False:
             raise ValueError("invalid transaction (cached)")
-        ok = verify_transaction(tx)
+        ok = verify_transaction(tx, programs=self.ledger.parsed_programs)
         if len(self._seen_tx_cache) > 10000:
             self._seen_tx_cache.clear()
         self._seen_tx_cache[tid] = ok

@@ -125,11 +125,18 @@ class Transaction:
     auth_tag: int  # Fr: public Poseidon authorization tag
     proof: bytes  # serialized VarunaProof
     is_deploy: bool = False
+    # execution proof (vm/circuit.py): Varuna proof of the function-body
+    # register trace for provable functions; empty for others.  exec_outs
+    # carries the CLAIMED outputs (finalize args + literal outputs) for
+    # executes, and the per-function verifying-key digests for deploys.
+    exec_proof: bytes = b""
+    exec_outs: bytes = b""
 
     def to_bytes(self) -> bytes:
         w = Writer()
         w.bytes_var(self.payload).u64(self.fee).field(self.auth_tag)
         w.bytes_var(self.proof).bool_(self.is_deploy)
+        w.bytes_var(self.exec_proof).bytes_var(self.exec_outs)
         return w.out()
 
     @classmethod
@@ -137,6 +144,7 @@ class Transaction:
         return cls(
             payload=r.bytes_var(), fee=r.u64(), auth_tag=r.field(),
             proof=r.bytes_var(), is_deploy=r.bool_(),
+            exec_proof=r.bytes_var(), exec_outs=r.bytes_var(),
         )
 
     @property

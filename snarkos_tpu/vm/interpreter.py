@@ -65,9 +65,14 @@ class MappingStore:
 
 
 def _value_to_fields(v: Value) -> list:
-    """Canonical field-element encoding of a console value for hashing
-    (framework-own packing: the printable form's bytes in 31-byte field
-    chunks, preceded by a type tag — injective per type)."""
+    """Canonical field-element encoding of a console value for hashing.
+
+    Field values encode as THEMSELVES (one element) so the in-circuit
+    Poseidon of vm/circuit.py can mirror hash.psd2 exactly; other types
+    use the framework-own packing (the printable form's bytes in 31-byte
+    field chunks, preceded by a type tag — injective per type)."""
+    if v.ty == "field":
+        return [v.val % V.FIELD_P]
     data = V.format_value(v).encode()
     out = [len(data)]
     for i in range(0, len(data), 31):

@@ -146,8 +146,10 @@ class TestRestRoutes:
             account = _Acct()
 
         rest = Rest(_Node(), port=0)
-        get = lambda parts: asyncio.get_event_loop().run_until_complete(
-            rest._route_get(parts, {}, chain, {}))
+        # asyncio.run, not get_event_loop(): a previously-run test may leave
+        # the thread without a current loop, which makes get_event_loop()
+        # raise (order-dependent failure in the full suite).
+        get = lambda parts: asyncio.run(rest._route_get(parts, {}, chain, {}))
 
         code, root_hex = get(["stateRoot", "latest"])
         assert code == 200 and root_hex == chain.latest_state_root.hex()
