@@ -129,10 +129,83 @@ class unrolled_muls:
 
 
 def mont_mul_impl(spec: FieldSpec, a: jax.Array, b: jax.Array) -> jax.Array:
-    """a * b * R^{-1} mod p — the workhorse. ~2 L^2 int32 multiplies."""
-    if not _FORCE_UNROLLED:
-        return _mont_mul_rolled(spec, a, b)
-    return _mont_mul_unrolled(spec, a, b)
+    """a * b * R^{-1} mod p — the workhorse. ~2 L^2 int32 multiplies.
+
+    Dispatch: inside Pallas kernel bodies (``unrolled_muls``) the flat
+    unrolled op stream; on TPU for large batches a dedicated elementwise
+    Pallas kernel (the rolled scan's (2L+1, batch) carried accumulator
+    costs ~50x the useful HBM traffic at NTT/Poseidon batch sizes —
+    measured 2.7 s for a 2^22 NTT that the kernel path runs in ~0.2 s);
+    otherwise the rolled lax.scan form (compact graphs, fast XLA:CPU
+    compiles for tests)."""
+    if _FORCE_UNROLLED:
+        return _mont_mul_unrolled(spec, a, b)
+    if _pallas_batch(a, b) is not None:
+        return _mont_mul_pallas(spec, a, b)
+    return _mont_mul_rolled(spec, a, b)
+
+
+# Elementwise-kernel dispatch threshold: below this many batch elements
+# the pallas_call overhead and padding waste beat the rolled form's
+# traffic penalty.
+_PALLAS_MIN_BATCH = 1 << 13
+_PALLAS_TILE = 2048
+
+
+def _pallas_batch(a: jax.Array, b: jax.Array):
+    """Broadcast batch shape if the TPU elementwise kernel should run."""
+    try:
+        if jax.default_backend() != "tpu":
+            return None
+    except RuntimeError:  # no backend yet (e.g. during early import)
+        return None
+    batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    n = 1
+    for d in batch:
+        n *= d
+    if n < _PALLAS_MIN_BATCH:
+        return None
+    return batch
+
+
+def _mont_mul_pallas(spec: FieldSpec, a: jax.Array, b: jax.Array) -> jax.Array:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    batch = _pallas_batch(a, b)
+    L = spec.nlimbs
+    full = (L,) + tuple(batch)
+    a = jnp.broadcast_to(a, full)
+    b = jnp.broadcast_to(b, full)
+    n = 1
+    for d in batch:
+        n *= d
+    af = a.reshape(L, n)
+    bf = b.reshape(L, n)
+    n_pad = -(-n // _PALLAS_TILE) * _PALLAS_TILE
+    if n_pad != n:
+        pad = ((0, 0), (0, n_pad - n))
+        af = jnp.pad(af, pad)
+        bf = jnp.pad(bf, pad)
+
+    def kernel(a_ref, b_ref, o_ref):
+        global _FORCE_UNROLLED
+        prev, _FORCE_UNROLLED = _FORCE_UNROLLED, True
+        try:
+            o_ref[...] = _mont_mul_unrolled(spec, a_ref[...], b_ref[...])
+        finally:
+            _FORCE_UNROLLED = prev
+
+    spec_blk = pl.BlockSpec((L, _PALLAS_TILE), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_pad // _PALLAS_TILE,),
+        in_specs=[spec_blk, spec_blk],
+        out_specs=spec_blk,
+        out_shape=jax.ShapeDtypeStruct((L, n_pad), jnp.int32),
+    )(af, bf)
+    return out[:, :n].reshape(full)
 
 
 def _mont_mul_rolled(spec: FieldSpec, a: jax.Array, b: jax.Array) -> jax.Array:

@@ -341,32 +341,108 @@ def fused_window_bits(n: int) -> int:
     return max(4, min(16, n.bit_length() - 7))
 
 
+def _weighted_bucket_total(sums, group: GroupOps, seg, B: int):
+    """T_w = Sum_{b>=1} b * S_b over Jacobian bucket sums (3x (L, B)),
+    via two chunked inclusive scans + a masked total — ~2B group adds
+    instead of the 2 B log B of the double Hillis-Steele suffix scans.
+
+    Identity: T_w = Sum_{b>=1} suffix_b with suffix_b = Sum_{i>=b} S_i.
+    Scan 1 computes all suffix_b (scan of the reversed array); scan 2
+    totals suffix_(1..B-1) (entries b = 0 and padding masked to the
+    identity).  Chains are the jadd_scan virtual-lane layout: chain l
+    owns positions [l*mv, (l+1)*mv); cross-chain carries come from a
+    Hillis-Steele pass over the (few) chain finals and are folded in
+    with one full-width add.
+    """
+    from snarkos_tpu.ops import msm_pallas
+
+    Kb, Cb = msm_pallas.JADD_LANES, msm_pallas.JADD_CHUNK
+    KV = Kb * Cb
+    mv = -(-B // KV)
+    Bp = KV * mv
+    m = mv * Cb
+    identB = group.identity(Bp)
+    pad = tuple(jnp.concatenate([t[..., ::-1], identB[i][..., : Bp - B]], axis=-1)
+                for i, t in enumerate(sums))  # reversed + identity padding
+
+    pos = jnp.arange(Bp, dtype=jnp.int32)
+    # virtual-chain layout: flat (j, k) with j = i*Cb + r holds chain
+    # (r, k) element i, chain l = r*Kb + k owns run [l*mv, (l+1)*mv)
+    j_grid = pos // Kb
+    k_grid = pos % Kb
+    src = ((j_grid % Cb) * Kb + k_grid) * mv + j_grid // Cb  # (m*Kb,)
+    inv = jnp.zeros((Bp,), jnp.int32).at[src].set(pos)
+
+    def chunked_scan_total(vals):
+        """-> (per-position inclusive scan values (.., Bp), grand total
+        (.., 1)), in ORIGINAL (pre-layout) position order."""
+        arranged = tuple(jnp.take(t, src, axis=-1).reshape(t.shape[0], m, Kb)
+                         for t in vals)
+        s = msm_pallas.jadd_scan(*arranged, Kb, Cb)
+        finals = tuple(t[:, -Cb:, :].reshape(t.shape[0], KV) for t in s)
+        zero_flag = jnp.zeros((1, KV), jnp.int32)
+        summ = _hillis_steele_prefix(seg, group, (zero_flag,) + finals, KV, 3)
+        ident1 = group.identity(1)
+        carry = tuple(jnp.concatenate([ident1[i], summ[1 + i][..., :-1]], axis=-1)
+                      for i in range(3))  # carry INTO chain l
+        flat = tuple(t.reshape(t.shape[0], m * Kb) for t in s)
+        # position (j, k) belongs to chain (j % Cb)*Kb + k
+        chain_idx = ((jnp.arange(m * Kb) // Kb % Cb) * Kb
+                     + jnp.arange(m * Kb) % Kb).astype(jnp.int32)
+        carry_at = tuple(jnp.take(t, chain_idx, axis=-1) for t in carry)
+        fixed = group.add(flat, carry_at)
+        total = tuple(t[..., -1:] for t in summ[1:])
+        return tuple(jnp.take(t, inv, axis=-1) for t in fixed), total
+
+    suffix_rev, _ = chunked_scan_total(pad)
+    # suffix_rev[p] = suffix_{B-1-p} for p < B; mask p >= B-1 (bucket 0
+    # and padding) to the identity, then total the rest
+    live = jnp.arange(Bp) < (B - 1)
+    masked = group.select(live, suffix_rev, group.identity(Bp))
+    _, total = chunked_scan_total(masked)
+    return total
+
+
 def _fused_msm_body(x, ycat, packed_digits, c: int, lanes: int, chunk: int,
                     use_pallas: bool, group: GroupOps | None = None,
                     scan_fn=None, fast: bool = False):
     """Window loop of the fused engine. x: (L, N) affine x; ycat: (L, 2N)
     [y | -y]; packed_digits: (W, N). Returns (x, y, z) width-1 tuple, or
     ((x, y, z), exc) with ``fast=True`` — exc is a scalar int32 that is
-    nonzero iff any bucket-scan lane in any window hit an exceptional
+    nonzero iff any bucket-scan chain in any window hit an exceptional
     (P == ±Q) case, in which case the result is garbage and the caller
     must rerun with ``fast=False`` (see g1.madd_incomplete_impl).
 
     group/scan_fn are injectable so the combinatorics (signed digits, sort
-    relayout, cross-lane carries, bucket-tail fixup) are testable with a
+    relayout, cross-chain carries, bucket-tail fixup) are testable with a
     cheap mock group on CPU (tests/test_msm.py); production uses G1 +
-    the fused Pallas bucket scan."""
+    the fused Pallas bucket scan.  The scan operates on KV = lanes*chunk
+    independent virtual chains (msm_pallas module docstring): chain
+    l = r*lanes + k owns the contiguous sorted run [l*mv, (l+1)*mv),
+    mv = n // KV, and sits at positions (j, k), j = i*chunk + r."""
     L, n = x.shape
     K = lanes
     m = n // K
+    KV = K * chunk
+    mv = n // KV
     B = (1 << (c - 1)) + 1
     if group is None:
         group = _g1_group(use_pallas)
+        bucket_total = None
+    else:
+        bucket_total = "generic"
     if scan_fn is None:
         from snarkos_tpu.ops import msm_pallas
 
         scan_fn = msm_pallas.bucket_scan_fast if fast else msm_pallas.bucket_scan
     seg = group.seg_combine or _default_seg_combine(group)
     bucket_ids = jnp.arange(B, dtype=jnp.int32)
+
+    # static index plumbing for the virtual-chain layout
+    j_idx = jnp.arange(m, dtype=jnp.int32)[:, None]
+    k_idx = jnp.arange(K, dtype=jnp.int32)[None, :]
+    src_grid = ((j_idx % chunk) * K + k_idx) * mv + j_idx // chunk  # (m, K)
+    src_flat = src_grid.reshape(-1)
 
     def plain_add_scan_reverse(vals):
         rev = tuple(t[..., ::-1] for t in vals)
@@ -381,54 +457,59 @@ def _fused_msm_body(x, ycat, packed_digits, c: int, lanes: int, chunk: int,
         keys, order = jax.lax.sort(
             (bucket, jnp.arange(n, dtype=jnp.int32)), num_keys=1
         )
-        # lane-major relayout fused into the gather: position (j, k) of the
-        # (m, K) scan grid holds sorted index k*m + j, so lane k owns the
-        # contiguous sorted run [k*m, (k+1)*m).
-        perm2 = order.reshape(K, m).T.reshape(-1)
+        # chain-major relayout fused into the gather
+        perm2 = jnp.take(order, src_flat)
         signs2 = jnp.take(sign, perm2)
         xs = jnp.take(x, perm2, axis=-1).reshape(L, m, K)
         ys = jnp.take(ycat, perm2 + signs2 * n, axis=-1).reshape(L, m, K)
         head = jnp.concatenate(
             [jnp.ones((1,), jnp.int32), (keys[1:] != keys[:-1]).astype(jnp.int32)]
         )
-        heads_lane = head.reshape(K, m).T  # (m, K)
+        heads_lane = jnp.take(head, src_flat).reshape(m, K)
         if fast:
-            nz_lane = (keys > 0).astype(jnp.int32).reshape(K, m).T  # (m, K)
+            nz_lane = jnp.take((keys > 0).astype(jnp.int32), src_flat).reshape(m, K)
             sx, sy, sz, exc = scan_fn(xs, ys, heads_lane[None], nz_lane[None],
                                       K, chunk)
             exc_acc = exc_acc | jnp.max(exc)
         else:
             sx, sy, sz = scan_fn(xs, ys, heads_lane[None], K, chunk)
 
-        # cross-lane carries: inclusive segmented scan of per-lane finals
-        lane_flag = jnp.max(heads_lane, axis=0)[None]  # (1, K)
-        finals = (sx[:, -1, :], sy[:, -1, :], sz[:, -1, :])
-        summ = _hillis_steele_prefix(seg, group, (lane_flag,) + finals, K, 3)
+        # cross-chain carries: inclusive segmented scan of per-chain finals
+        # (chain l = r*K + k finals live in the last `chunk` rows)
+        chain_flag = jnp.max(heads_lane.reshape(mv, chunk, K), axis=0).reshape(1, KV)
+        finals = tuple(t[:, -chunk:, :].reshape(L, KV) for t in (sx, sy, sz))
+        summ = _hillis_steele_prefix(seg, group, (chain_flag,) + finals, KV, 3)
         ident1 = group.identity(1)
-        carry = tuple(
+        carry_in = tuple(
             jnp.concatenate([ident1[i], summ[1 + i][..., :-1]], axis=-1)
             for i in range(3)
-        )  # (L, K): carry INTO lane k
+        )  # (L, KV): carry INTO chain l
 
         # bucket sums = scan values at each bucket's last occurrence, plus
-        # the lane carry when the bucket's run extends past a lane start
+        # the chain carry when the bucket's run extends past a chain start
         pos = jnp.searchsorted(keys, bucket_ids, side="right").astype(jnp.int32) - 1
         nonempty = (pos >= 0) & (jnp.take(keys, jnp.maximum(pos, 0)) == bucket_ids)
         posc = jnp.maximum(pos, 0)
-        lane_of = posc // m
-        flat = (posc % m) * K + lane_of
+        chain_of = posc // mv
+        i_of = posc % mv
+        flat = (i_of * chunk + chain_of // K) * K + chain_of % K
         tails = tuple(jnp.take(t.reshape(L, m * K), flat, axis=-1) for t in (sx, sy, sz))
-        cum_heads = jnp.cumsum(heads_lane, axis=0)  # heads seen in-lane so far
-        needs_carry = jnp.take(cum_heads.reshape(-1), flat) == 0
-        carry_at = tuple(jnp.take(t, lane_of, axis=-1) for t in carry)
+        # heads seen within the chain up to each position
+        cum_heads = jnp.cumsum(heads_lane.reshape(mv, chunk, K), axis=0).reshape(-1)
+        needs_carry = jnp.take(cum_heads, flat) == 0
+        carry_at = tuple(jnp.take(t, chain_of, axis=-1) for t in carry_in)
         added = group.add(tails, carry_at)
         sums = group.select(needs_carry, added, tails)
         sums = group.select(nonempty & (bucket_ids > 0), sums, group.identity(B))
 
-        # T_w = Sum_{b>=1} b * S_b = (suffix of suffix)[1]
-        suffix = plain_add_scan_reverse(sums)
-        suffix2 = plain_add_scan_reverse(suffix)
-        t_w = tuple(t[..., 1:2] for t in suffix2)
+        # T_w = Sum_{b>=1} b * S_b
+        if bucket_total is None:
+            t_w = _weighted_bucket_total(sums, group, seg, B)
+        else:
+            # generic/mock path: (suffix of suffix)[1] via Hillis-Steele
+            suffix = plain_add_scan_reverse(sums)
+            suffix2 = plain_add_scan_reverse(suffix)
+            t_w = tuple(t[..., 1:2] for t in suffix2)
 
         def dbl(_, a):
             return group.add(a, a)

@@ -23,10 +23,17 @@ ops/msm.py:
    (log2(K) Hillis-Steele combines) and a cumulative-OR head mask.
    ~N group adds per window instead of ~2N.
 
-Layout: the sorted points arrive as (L, m, K) limb tensors where lane k
-owns the contiguous sorted run [k*m, (k+1)*m) and position (j, k) holds
-sorted index k*m + j.  The grid walks j in CHUNK-sized blocks; K rides
-the 128-lane axis.
+Layout (round 4): the sorted points arrive as (L, m, K) limb tensors
+carved into K*CHUNK independent VIRTUAL scan chains — virtual lane
+l = r*K + k (r = j % CHUNK) owns the contiguous sorted run
+[l*mv, (l+1)*mv), mv = m/CHUNK, and position (j, k) with j = i*CHUNK + r
+holds element i of chain (r, k).  Each grid step performs ONE group add
+over the whole (L, CHUNK, K) block — CHUNK*K lanes of independent work
+per VPU op — instead of CHUNK serial adds at K lanes.  The round-3
+kernel was dependency-latency-bound at ~0.5 int-op/cycle; the widened
+block raises ILP ~CHUNK-fold at identical VMEM block shapes (bigger
+K alone blows the ~16 MiB VMEM budget, and Mosaic requires the
+second-minor block dim divisible by 8, so CHUNK cannot shrink).
 """
 
 from __future__ import annotations
@@ -43,10 +50,12 @@ from snarkos_tpu.ops.fieldspec import FQ
 
 _L = FQ.nlimbs
 
-# K lanes x CHUNK serial steps per grid invocation. VMEM at (24, 8, 1024)
-# blocks: ~1.6 MiB in + ~2.4 MiB out (x2 double-buffered) + ~0.3 MiB carry
-# + madd temporaries — comfortably inside the ~16 MiB/core budget.
-LANES = 1024
+# K lanes x CHUNK chunk-rows per block; the block's CHUNK*K positions are
+# independent chains (one madd per grid step).  VMEM at (24, 8, 512)
+# blocks: 5 coord blocks double-buffered (~3.8 MiB) + (3, 24, 8, 512)
+# carry (~1.2 MiB) + ~10 live madd temporaries (~3.8 MiB) ≈ 10 MiB —
+# inside the 16 MiB budget (K=1024 blocks measured 19.3 MiB: OOM).
+LANES = 512
 CHUNK = 8
 
 
@@ -55,49 +64,47 @@ def _interpret() -> bool:
 
 
 def _scan_kernel(one_ref, xs_ref, ys_ref, fl_ref, ox_ref, oy_ref, oz_ref, carry_ref):
-    """Per-lane inclusive segmented scan, CHUNK serial steps per grid step.
+    """Inclusive segmented scan over CHUNK*K independent virtual chains:
+    ONE complete mixed add per grid step on the full (L, CHUNK, K) block.
 
-    carry_ref (3, L, K) persists across the sequential grid; z = 0 marks
-    the identity so x/y init values are irrelevant (madd selects on z).
+    carry_ref (3, L, CHUNK, K) persists across the sequential grid; z = 0
+    marks the identity so x/y init values are irrelevant (madd selects
+    on z).
     """
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
         carry_ref[...] = jnp.zeros_like(carry_ref)
 
-    one = one_ref[...]
-
-    def body(j, _):
-        qx = xs_ref[:, j, :]
-        qy = ys_ref[:, j, :]
-        reset = fl_ref[:, j, :] != 0  # (1, K)
-        p = g1.JacobianPoints(carry_ref[0], carry_ref[1], carry_ref[2])
-        out = g1.madd_impl(p, qx, qy, one=one)
-        out_x = jnp.where(reset, qx, out.x)
-        out_y = jnp.where(reset, qy, out.y)
-        out_z = jnp.where(reset, one, out.z)
-        carry_ref[0], carry_ref[1], carry_ref[2] = out_x, out_y, out_z
-        ox_ref[:, j, :] = out_x
-        oy_ref[:, j, :] = out_y
-        oz_ref[:, j, :] = out_z
-        return 0
-
-    jax.lax.fori_loop(0, xs_ref.shape[1], body, 0)
+    one = one_ref[...][:, None, :]  # (L, 1, K) broadcasts over CHUNK
+    qx = xs_ref[...]
+    qy = ys_ref[...]
+    reset = fl_ref[...] != 0  # (1, CHUNK, K)
+    p = g1.JacobianPoints(carry_ref[0], carry_ref[1], carry_ref[2])
+    out = g1.madd_impl(p, qx, qy, one=one)
+    out_x = jnp.where(reset, qx, out.x)
+    out_y = jnp.where(reset, qy, out.y)
+    out_z = jnp.where(reset, jnp.broadcast_to(one, qx.shape), out.z)
+    carry_ref[0], carry_ref[1], carry_ref[2] = out_x, out_y, out_z
+    ox_ref[...] = out_x
+    oy_ref[...] = out_y
+    oz_ref[...] = out_z
 
 
 def _scan_kernel_fast(one_ref, xs_ref, ys_ref, fl_ref, nz_ref,
                       ox_ref, oy_ref, oz_ref, oexc_ref, carry_ref, exc_ref):
     """Incomplete-add variant of ``_scan_kernel``: the combine is
     ``g1.madd_incomplete_impl`` (11 Fq muls vs ~17), exceptional lanes
-    (P == ±Q inside a segment) raise a sticky per-lane flag instead of
-    being patched. ``oexc_ref`` maps every grid step to the same (1, K)
-    block, so the value left after the final step is the accumulated OR.
+    (P == ±Q inside a segment) raise a sticky per-chain flag instead of
+    being patched. ``oexc_ref`` maps every grid step to the same
+    (1, CHUNK, K) block, so the value left after the final step is the
+    accumulated OR.
 
     ``nz_ref`` masks the flag to positions in NONZERO buckets: bucket 0
     (zero digits — zero scalars and pad lanes, typically N copies of one
     point, i.e. guaranteed P == Q hits) is discarded downstream, and its
     corruption cannot cross a segment head into a live bucket — the scan
-    resets at every head and the cross-lane carry scan is segmented, so
+    resets at every head and the cross-chain carry scan is segmented, so
     garbage stays within the bucket-0 segment. Exceptional outputs are
     still canonical field elements (h == 0 forces z3 == 0 exactly), so
     no overflow hazard propagates either.
@@ -108,27 +115,22 @@ def _scan_kernel_fast(one_ref, xs_ref, ys_ref, fl_ref, nz_ref,
         carry_ref[...] = jnp.zeros_like(carry_ref)
         exc_ref[...] = jnp.zeros_like(exc_ref)
 
-    one = one_ref[...]
-
-    def body(j, _):
-        qx = xs_ref[:, j, :]
-        qy = ys_ref[:, j, :]
-        reset = fl_ref[:, j, :] != 0  # (1, K)
-        p = g1.JacobianPoints(carry_ref[0], carry_ref[1], carry_ref[2])
-        out, exc = g1.madd_incomplete_impl(p, qx, qy, one=one)
-        # a segment head overwrites the combine, so its exception is moot
-        live = jnp.logical_and(~reset, nz_ref[:, j, :] != 0)
-        exc_ref[...] |= jnp.where(live, exc[None].astype(jnp.int32), 0)
-        out_x = jnp.where(reset, qx, out.x)
-        out_y = jnp.where(reset, qy, out.y)
-        out_z = jnp.where(reset, one, out.z)
-        carry_ref[0], carry_ref[1], carry_ref[2] = out_x, out_y, out_z
-        ox_ref[:, j, :] = out_x
-        oy_ref[:, j, :] = out_y
-        oz_ref[:, j, :] = out_z
-        return 0
-
-    jax.lax.fori_loop(0, xs_ref.shape[1], body, 0)
+    one = one_ref[...][:, None, :]
+    qx = xs_ref[...]
+    qy = ys_ref[...]
+    reset = fl_ref[...] != 0  # (1, CHUNK, K)
+    p = g1.JacobianPoints(carry_ref[0], carry_ref[1], carry_ref[2])
+    out, exc = g1.madd_incomplete_impl(p, qx, qy, one=one)
+    # a segment head overwrites the combine, so its exception is moot
+    live = jnp.logical_and(~reset, nz_ref[...] != 0)
+    exc_ref[...] |= jnp.where(live, exc[None].astype(jnp.int32), 0)
+    out_x = jnp.where(reset, qx, out.x)
+    out_y = jnp.where(reset, qy, out.y)
+    out_z = jnp.where(reset, jnp.broadcast_to(one, qx.shape), out.z)
+    carry_ref[0], carry_ref[1], carry_ref[2] = out_x, out_y, out_z
+    ox_ref[...] = out_x
+    oy_ref[...] = out_y
+    oz_ref[...] = out_z
     oexc_ref[...] = exc_ref[...]
 
 
@@ -137,10 +139,10 @@ def bucket_scan_fast(xs: jax.Array, ys: jax.Array, flags: jax.Array,
                      nonzero: jax.Array, lanes: int = LANES, chunk: int = CHUNK):
     """Incomplete-add segmented scan. Same contract as ``bucket_scan``
     plus a ``nonzero`` input ((1, m, K) int32, 1 where the position's
-    bucket key is > 0) and a fourth output ``exc``: (1, K) int32, nonzero
-    in lanes that hit an exceptional case in a live bucket (their scan
-    values are garbage — the caller must detect this and fall back to the
-    complete engine)."""
+    bucket key is > 0) and a fourth output ``exc``: (1, chunk, K) int32,
+    nonzero in chains that hit an exceptional case in a live bucket
+    (their scan values are garbage — the caller must detect this and
+    fall back to the complete engine)."""
     L, m, K = xs.shape
     assert K == lanes and m % chunk == 0, (xs.shape, lanes, chunk)
     from snarkos_tpu.ops import modarith as fa
@@ -149,9 +151,9 @@ def bucket_scan_fast(xs: jax.Array, ys: jax.Array, flags: jax.Array,
     coord = pl.BlockSpec((L, chunk, K), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
     flag = pl.BlockSpec((1, chunk, K), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
     onespec = pl.BlockSpec((L, K), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    excspec = pl.BlockSpec((1, K), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    excspec = pl.BlockSpec((1, chunk, K), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
     shape = jax.ShapeDtypeStruct((L, m, K), jnp.int32)
-    exc_shape = jax.ShapeDtypeStruct((1, K), jnp.int32)
+    exc_shape = jax.ShapeDtypeStruct((1, chunk, K), jnp.int32)
 
     with fa.unrolled_muls():
         sx, sy, sz, exc = pl.pallas_call(
@@ -160,8 +162,8 @@ def bucket_scan_fast(xs: jax.Array, ys: jax.Array, flags: jax.Array,
             in_specs=[onespec, coord, coord, flag, flag],
             out_specs=[coord] * 3 + [excspec],
             out_shape=[shape] * 3 + [exc_shape],
-            scratch_shapes=[pltpu.VMEM((3, L, K), jnp.int32),
-                            pltpu.VMEM((1, K), jnp.int32)],
+            scratch_shapes=[pltpu.VMEM((3, L, chunk, K), jnp.int32),
+                            pltpu.VMEM((1, chunk, K), jnp.int32)],
             interpret=_interpret(),
         )(one, xs, ys, flags, nonzero)
     return sx, sy, sz, exc
@@ -170,7 +172,8 @@ def bucket_scan_fast(xs: jax.Array, ys: jax.Array, flags: jax.Array,
 @functools.partial(jax.jit, static_argnums=(3, 4))
 def bucket_scan(xs: jax.Array, ys: jax.Array, flags: jax.Array,
                 lanes: int = LANES, chunk: int = CHUNK):
-    """Segmented inclusive scan of affine points along the sorted axis.
+    """Segmented inclusive scan of affine points over chunk*K virtual
+    chains (see module docstring for the chain layout).
 
     xs, ys: (L, m, K) sorted affine coordinates (Montgomery limbs);
     flags: (1, m, K) int32 segment-head markers. m % chunk == 0.
@@ -197,7 +200,57 @@ def bucket_scan(xs: jax.Array, ys: jax.Array, flags: jax.Array,
             in_specs=[onespec, coord, coord, flag],
             out_specs=[coord] * 3,
             out_shape=[shape] * 3,
-            scratch_shapes=[pltpu.VMEM((3, L, K), jnp.int32)],
+            scratch_shapes=[pltpu.VMEM((3, L, chunk, K), jnp.int32)],
             interpret=_interpret(),
         )(one, xs, ys, flags)
     return sx, sy, sz
+
+
+# --- plain Jacobian scan (bucket-phase suffix sums) -------------------------
+
+JADD_LANES = 128
+JADD_CHUNK = 8
+
+
+def _jadd_scan_kernel(xs_ref, ys_ref, zs_ref, ox_ref, oy_ref, oz_ref, carry_ref):
+    """Plain (unsegmented) inclusive scan of JACOBIAN points over chunk*K
+    virtual chains — the complete add handles identities (z = 0), so no
+    flags are needed.  Used by the MSM bucket phase to turn the
+    work-inefficient width-B Hillis-Steele suffix scans (B log B adds)
+    into chunked scans (~B adds)."""
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        carry_ref[...] = jnp.zeros_like(carry_ref)
+
+    p = g1.JacobianPoints(carry_ref[0], carry_ref[1], carry_ref[2])
+    q = g1.JacobianPoints(xs_ref[...], ys_ref[...], zs_ref[...])
+    out = g1.add_impl(p, q)
+    carry_ref[0], carry_ref[1], carry_ref[2] = out.x, out.y, out.z
+    ox_ref[...] = out.x
+    oy_ref[...] = out.y
+    oz_ref[...] = out.z
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def jadd_scan(xs: jax.Array, ys: jax.Array, zs: jax.Array,
+              lanes: int = JADD_LANES, chunk: int = JADD_CHUNK):
+    """Inclusive scan of (L, m, K) Jacobian points over chunk*K virtual
+    chains (same layout contract as ``bucket_scan``).  Returns the
+    per-position scan values (3 arrays of (L, m, K))."""
+    L, m, K = xs.shape
+    assert K == lanes and m % chunk == 0, (xs.shape, lanes, chunk)
+    from snarkos_tpu.ops import modarith as fa
+
+    coord = pl.BlockSpec((L, chunk, K), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((L, m, K), jnp.int32)
+    with fa.unrolled_muls():
+        return pl.pallas_call(
+            _jadd_scan_kernel,
+            grid=(m // chunk,),
+            in_specs=[coord] * 3,
+            out_specs=[coord] * 3,
+            out_shape=[shape] * 3,
+            scratch_shapes=[pltpu.VMEM((3, L, chunk, K), jnp.int32)],
+            interpret=_interpret(),
+        )(xs, ys, zs)

@@ -120,6 +120,29 @@ def _master_table(n: int, invert: bool) -> jax.Array:
 
 
 @functools.lru_cache(maxsize=None)
+def _master_table_base(n: int, omega: int, size: int) -> jax.Array:
+    """(L, size) Montgomery table W[i] = omega^i for a caller-chosen root
+    (the four-step path needs powers of omega_N up to N-1, and small-NTT
+    tables for omega_F = omega_N^(N/F) — the SAME root family, which the
+    algebra of the decomposition requires; ref.root_of_unity(F) could be a
+    different primitive F-th root)."""
+    ndigits = max(1, -(-max(size.bit_length() - 1, 1) // _DIGIT_BITS))
+    with jax.ensure_compile_time_eval():
+        tables = []
+        for k in range(ndigits):
+            base = pow(omega, 1 << (_DIGIT_BITS * k), R)
+            tsize = min(1 << _DIGIT_BITS, size)
+            tables.append(jnp.array(FR.encode([pow(base, d, R) for d in range(tsize)])))
+        idx = jnp.arange(size, dtype=jnp.int32)
+        mask = (1 << _DIGIT_BITS) - 1
+        out = jnp.take(tables[0], idx & mask, axis=-1)
+        for k in range(1, ndigits):
+            digit = (idx >> (_DIGIT_BITS * k)) & mask
+            out = fa.mont_mul_impl(FR, out, jnp.take(tables[k], digit, axis=-1))
+        return out
+
+
+@functools.lru_cache(maxsize=None)
 def _stage_twiddles(n: int, invert: bool) -> tuple:
     """Per-stage twiddle limb arrays: stage s (half-length m = 2^s) gets
     (L, 1, m) Montgomery twiddles w_len^j, w_len = omega^(n / 2m) — i.e.
@@ -162,6 +185,122 @@ def _ntt_kernel(a, perm, twiddles, n_inv, invert: bool):
     return a
 
 
+# ---------------------------------------------------------------------------
+# four-step (Bailey) NTT — the large-size hot path
+# ---------------------------------------------------------------------------
+#
+# The stage-loop kernel above keeps the butterfly half-length m on the
+# TRAILING (lane) axis, so stages with m < 128 use a fraction of the 128
+# VPU lanes and every stage's (.., 2, m) stack forces a relayout with the
+# sublane dim stuck at 2/8 — measured ~3.6x below the bandwidth roofline
+# at 2^22 (BENCH_NOTES.md).  The four-step decomposition N = n1*n2 runs
+# two passes of small column-NTTs whose butterflies index a LEADING axis
+# while a large flattened batch rides the lane axis — every elementwise
+# op is full-width at every stage:
+#
+#   X[k1 + n1*k2] = Sum_{j2} w_N^{j2 k1} w_{n2}^{j2 k2}
+#                     [ Sum_{j1} A[j2 + n2*j1] w_{n1}^{j1 k1} ]
+#
+#   1. reshape (n1, n2); NTT length n1 over axis 0, batch n2 trailing
+#   2. elementwise mid-twiddle w_N^{k1*j2}  (cached (L, n1, n2) tensor)
+#   3. transpose; NTT length n2 over axis 0, batch n1 trailing
+#   4. the (k2, k1) result IS the natural-order output, flattened
+
+
+def _ntt_axis1(a: jax.Array, perm: jax.Array, twiddles: tuple) -> jax.Array:
+    """Radix-2 DIT butterflies along axis 1 of (L, F, T); T (the flattened
+    batch) stays on the lane axis through every stage."""
+    L, F, T = a.shape
+    a = jnp.take(a, perm, axis=1)
+    m = 1
+    for tw in twiddles:  # tw: (L, m)
+        groups = F // (2 * m)
+        v = a.reshape(L, groups, 2, m, T)
+        u, w = v[:, :, 0], v[:, :, 1]
+        w = fa.mont_mul_impl(FR, w, tw[:, None, :, None])
+        a = jnp.stack([fa.add_impl(FR, u, w), fa.sub_impl(FR, u, w)],
+                      axis=2).reshape(L, F, T)
+        m *= 2
+    return a
+
+
+@functools.lru_cache(maxsize=None)
+def _small_stage_twiddles(n: int, f: int, invert: bool) -> tuple:
+    """Stage twiddles (each (L, m)) for the length-f column NTT inside the
+    four-step factorization of n, built from omega_f = omega_n^(n/f)."""
+    omega = ref.root_of_unity(n)
+    if invert:
+        omega = pow(omega, -1, R)
+    omega_f = pow(omega, n // f, R)
+    master = _master_table_base(f, omega_f, max(f // 2, 1))
+    log_f = f.bit_length() - 1
+    with jax.ensure_compile_time_eval():
+        return tuple(master[:, :: 1 << (log_f - 1 - s)][:, : 1 << s]
+                     for s in range(log_f))
+
+
+@functools.lru_cache(maxsize=None)
+def _mid_twiddles(n: int, n1: int, invert: bool) -> jax.Array:
+    """(L, n1, n2) tensor M[k1, j2] = omega_n^(k1*j2), cached per size."""
+    n2 = n // n1
+    omega = ref.root_of_unity(n)
+    if invert:
+        omega = pow(omega, -1, R)
+    master = _master_table_base(n, omega, n)
+    with jax.ensure_compile_time_eval():
+        idx = (np.arange(n1, dtype=np.int64)[:, None]
+               * np.arange(n2, dtype=np.int64)[None, :]) % n
+        return jnp.take(master, jnp.asarray(idx.astype(np.int32).reshape(-1)),
+                        axis=-1).reshape(FR.nlimbs, n1, n2)
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6))
+def _ntt_four_step_kernel(a, perm1, tw1, mid, n_inv, n1: int, invert: bool):
+    """a: (L, Br, n).  tw1 = per-stage twiddle tuples for BOTH column NTTs
+    packed as (stages_n1, stages_n2, perm2); static args keep the traced
+    graph free of large literals (all tables arrive as runtime inputs)."""
+    stages_n1, stages_n2, perm2 = tw1
+    L, Br, n = a.shape
+    n2 = n // n1
+    # step 1: NTT over j1, batch (Br, j2) trailing
+    a4 = a.reshape(L, Br, n1, n2)
+    a4 = jnp.moveaxis(a4, 1, 2).reshape(L, n1, Br * n2)
+    a4 = _ntt_axis1(a4, perm1, stages_n1)
+    # step 2: mid twiddle w_n^(k1*j2)
+    a4 = a4.reshape(L, n1, Br, n2)
+    a4 = fa.mont_mul_impl(FR, a4, mid[:, :, None, :])
+    # step 3: NTT over j2, batch (k1, Br) trailing
+    a4 = jnp.moveaxis(a4, 3, 1).reshape(L, n2, n1 * Br)
+    a4 = _ntt_axis1(a4, perm2, stages_n2)
+    # step 4: (k2, k1) -> flat n1*k2 + k1 is natural order
+    a4 = a4.reshape(L, n2, n1, Br)
+    out = jnp.moveaxis(a4, 3, 1).reshape(L, Br, n)
+    if invert:
+        out = fa.mont_mul_impl(FR, out, n_inv[:, None])
+    return out
+
+
+_FOUR_STEP_MIN = 1 << 12
+
+
+def _ntt_dispatch(a: jax.Array, invert: bool) -> jax.Array:
+    """(L, B, n) batched NTT: four-step for large sizes, stage-loop kernel
+    for small ones (where table setup would dominate)."""
+    L, B, n = a.shape
+    if n < _FOUR_STEP_MIN:
+        return _ntt_kernel(a, jnp.asarray(_bitrev_perm(n)),
+                           _stage_twiddles(n, invert), _n_inv_const(n), invert)
+    log_n = n.bit_length() - 1
+    n1 = 1 << (log_n // 2)
+    n2 = n // n1
+    tw = (_small_stage_twiddles(n, n1, invert),
+          _small_stage_twiddles(n, n2, invert),
+          jnp.asarray(_bitrev_perm(n2)))
+    return _ntt_four_step_kernel(a, jnp.asarray(_bitrev_perm(n1)), tw,
+                                 _mid_twiddles(n, n1, invert), _n_inv_const(n),
+                                 n1, invert)
+
+
 def ntt(a: jax.Array, invert: bool = False) -> jax.Array:
     """(L, N) Montgomery Fr coefficients -> (L, N) evaluations (or inverse).
 
@@ -171,9 +310,7 @@ def ntt(a: jax.Array, invert: bool = False) -> jax.Array:
     assert n & (n - 1) == 0, "size must be a power of two"
     if n == 1:
         return a
-    out = _ntt_kernel(a.reshape(L, 1, n), jnp.asarray(_bitrev_perm(n)),
-                      _stage_twiddles(n, invert), _n_inv_const(n), invert)
-    return out.reshape(L, n)
+    return _ntt_dispatch(a.reshape(L, 1, n), invert).reshape(L, n)
 
 
 def intt(a: jax.Array) -> jax.Array:
@@ -185,5 +322,4 @@ def ntt_batched(a: jax.Array, invert: bool = False) -> jax.Array:
     L, B, n = a.shape
     if n == 1:
         return a
-    return _ntt_kernel(a, jnp.asarray(_bitrev_perm(n)),
-                       _stage_twiddles(n, invert), _n_inv_const(n), invert)
+    return _ntt_dispatch(a, invert)

@@ -103,18 +103,23 @@ def _mock3_group():
 
 
 def _mock3_scan(xs, ys, flags, lanes, chunk):
-    """Segmented inclusive scan: input point (x, y) contributes (x, y, 1)."""
+    """Segmented inclusive scan over chunk*K virtual chains (the round-4
+    kernel layout: chain (r, k) advances along i at rows j = i*chunk + r).
+    Input point (x, y) contributes (x, y, 1)."""
     L, m, K = xs.shape
+    mv = m // chunk
     outs = []
     for v in (xs, ys, jnp.ones_like(xs)):
-        carry = jnp.zeros((L, K), jnp.int64)
+        vv = v.reshape(L, mv, chunk, K)
+        fl = flags.reshape(1, mv, chunk, K)
+        carry = jnp.zeros((L, chunk, K), jnp.int64)
         rows = []
-        for j in range(m):
-            reset = flags[:, j, :] != 0
-            carry = jnp.where(reset, v[:, j, :].astype(jnp.int64),
-                              (carry + v[:, j, :]) % MOCK_MOD)
+        for i in range(mv):
+            reset = fl[:, i] != 0
+            carry = jnp.where(reset, vv[:, i].astype(jnp.int64),
+                              (carry + vv[:, i]) % MOCK_MOD)
             rows.append(carry)
-        outs.append(jnp.stack(rows, axis=1).astype(jnp.int32))
+        outs.append(jnp.stack(rows, axis=1).reshape(L, m, K).astype(jnp.int32))
     return tuple(outs)
 
 
