@@ -178,7 +178,7 @@ def bench_msm(jax, log_n: int = 20, c: int = 0):
     def run():
         total = None
         for sc in scalar_chunks:  # same points per chunk: scalars differ,
-            out = msm_mod.msm_affine(x, y, sc, c=c, lanes=1024)
+            out = msm_mod.msm_affine(x, y, sc, c=c)
             total = out if total is None else g1ops.add(total, out)
         np.asarray(total.x[:, :1])  # completion fence
 
@@ -205,11 +205,11 @@ def bench_prover(jax, batch: int = 8):
     return batch / dt
 
 
-def _native_ref_msm_rate() -> float | None:
-    """Calibrate the native C++ single-thread Pippenger (points/s at
-    2^14) — the honest CPU baseline (same class of implementation as the
-    reference's arkworks backend, one core; the reference machine would
-    scale it by its core count)."""
+def _native_ref_msm_rate(mt: bool = False) -> float | None:
+    """Calibrate the native C++ Pippenger (points/s at 2^14) — the honest
+    CPU baseline (same class of implementation as the reference's
+    arkworks backend).  ``mt=True`` uses all hardware threads (the
+    reference machine would further scale by its core count)."""
     import random
 
     from snarkos_tpu.crypto import params
@@ -227,7 +227,10 @@ def _native_ref_msm_rate() -> float | None:
     rng = random.Random(0)
     scalars = [rng.randrange(params.FR_MODULUS) for _ in range(n)]
     t0 = time.time()
-    native.g1_msm(scalars, pts)
+    out = (native.g1_msm_mt(scalars, pts) if mt
+           else native.g1_msm(scalars, pts))
+    if out is None:
+        return None
     return n / (time.time() - t0)
 
 
@@ -269,6 +272,7 @@ def main():
     if os.environ.get("SNARKOS_TPU_BENCH_PROVER", "1") == "1":
         try:
             extras["prover_solutions_per_s_b8"] = round(bench_prover(jax, 8), 3)
+            extras["prover_solutions_per_s_b16"] = round(bench_prover(jax, 16), 3)
         except Exception as exc:  # pragma: no cover
             extras["prover_error"] = str(exc)[:200]
 
@@ -279,6 +283,14 @@ def main():
             metric, value = f"msm_points_per_s_2^{log_n}", rate
         except Exception as exc:
             extras["msm_error"] = str(exc)[:200]
+        # BASELINE.md headline size: 2^24 (chunked 2^22 partials)
+        if value is not None and log_n < 24 and \
+                os.environ.get("SNARKOS_TPU_BENCH_24", "1") == "1":
+            try:
+                rate24, _, _ = bench_msm(jax, 24, window)
+                extras["msm_points_per_s_2^24"] = round(rate24)
+            except Exception as exc:  # pragma: no cover
+                extras["msm24_error"] = str(exc)[:200]
     if value is None and "ntt_elems_per_s" in extras:
         metric, value, unit = f"ntt_elems_per_s_2^{min(log_n + 2, 22)}", extras["ntt_elems_per_s"], "elems/s"
     if value is None and "poseidon_hashes_per_s" in extras:
@@ -295,6 +307,13 @@ def main():
             extras["baseline"] = "native C++ Pippenger, 1 thread, 2^14"
         except Exception:
             ref_rate = None
+        try:
+            mt_rate = _native_ref_msm_rate(mt=True)
+            if mt_rate is not None:
+                extras["baseline_mt_points_per_s"] = round(mt_rate)
+                extras["baseline_mt"] = "native C++ Pippenger, all hw threads, 2^14"
+        except Exception:
+            pass
         if ref_rate is None:
             try:
                 ref_rate = _python_ref_msm_rate()

@@ -18,7 +18,9 @@
 //   - out: Jacobian X||Y||Z canonical little-endian 48*3 bytes
 // Returns 0 on success.
 
+#include <algorithm>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 #include "fq377.h"
@@ -211,6 +213,19 @@ static void store_jacobian(uint8_t *out144, const G1 &p) {
   }
 }
 
+static void load_jacobian(G1 &p, const uint8_t *in144) {
+  Fq *coords[3] = {&p.x, &p.y, &p.z};
+  for (int c = 0; c < 3; c++) {
+    u64 canon[6];
+    for (int i = 0; i < 6; i++) {
+      u64 v = 0;
+      for (int b = 7; b >= 0; b--) v = (v << 8) | in144[c * 48 + i * 8 + b];
+      canon[i] = v;
+    }
+    fq_from_canonical(*coords[c], canon);
+  }
+}
+
 extern "C" {
 
 // Pippenger MSM over affine points.
@@ -266,6 +281,42 @@ int g1_msm(const uint8_t *scalars_le, const uint8_t *points_xy_le, long n,
 int g1_scalar_mul(const uint8_t *scalar_le, const uint8_t *point_xy_le,
                   uint8_t *out144) {
   return g1_msm(scalar_le, point_xy_le, 1, out144);
+}
+
+// Multi-threaded Pippenger: the points split across nthreads workers
+// (each a full single-thread MSM on its slice — the same shard-and-
+// reduce shape as parallel/msm_dist.py), partials combined with
+// Jacobian adds.  nthreads <= 0 uses hardware_concurrency.  This is the
+// honest CPU baseline at machine scale: the reference's rayon backend
+// parallelizes the same way across its cores.
+int g1_msm_mt(const uint8_t *scalars_le, const uint8_t *points_xy_le, long n,
+              int nthreads, uint8_t *out144) {
+  if (nthreads <= 0) {
+    unsigned hc = std::thread::hardware_concurrency();
+    nthreads = hc ? (int)hc : 1;
+  }
+  if (nthreads == 1 || n < 2 * nthreads)
+    return g1_msm(scalars_le, points_xy_le, n, out144);
+  long per = (n + nthreads - 1) / nthreads;
+  std::vector<std::vector<uint8_t>> outs(nthreads, std::vector<uint8_t>(144));
+  std::vector<std::thread> ts;
+  for (int t = 0; t < nthreads; t++) {
+    long lo = t * per, hi = std::min(n, lo + per);
+    if (lo >= hi) { G1 inf; g1_set_infinity(inf); store_jacobian(outs[t].data(), inf); continue; }
+    ts.emplace_back([&, t, lo, hi]() {
+      g1_msm(scalars_le + 32 * lo, points_xy_le + 96 * lo, hi - lo,
+             outs[t].data());
+    });
+  }
+  for (auto &th : ts) th.join();
+  G1 acc, part;
+  g1_set_infinity(acc);
+  for (int t = 0; t < nthreads; t++) {
+    load_jacobian(part, outs[t].data());
+    g1_add(acc, acc, part);
+  }
+  store_jacobian(out144, acc);
+  return 0;
 }
 
 }  // extern "C"  (reopened below for the fixed-base generator)

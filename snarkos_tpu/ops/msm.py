@@ -405,7 +405,7 @@ def _weighted_bucket_total(sums, group: GroupOps, seg, B: int):
 
 def _fused_msm_body(x, ycat, packed_digits, c: int, lanes: int, chunk: int,
                     use_pallas: bool, group: GroupOps | None = None,
-                    scan_fn=None, fast: bool = False):
+                    scan_fn=None, fast: bool = False, serial: bool = False):
     """Window loop of the fused engine. x: (L, N) affine x; ycat: (L, 2N)
     [y | -y]; packed_digits: (W, N). Returns (x, y, z) width-1 tuple, or
     ((x, y, z), exc) with ``fast=True`` — exc is a scalar int32 that is
@@ -419,11 +419,14 @@ def _fused_msm_body(x, ycat, packed_digits, c: int, lanes: int, chunk: int,
     the fused Pallas bucket scan.  The scan operates on KV = lanes*chunk
     independent virtual chains (msm_pallas module docstring): chain
     l = r*lanes + k owns the contiguous sorted run [l*mv, (l+1)*mv),
-    mv = n // KV, and sits at positions (j, k), j = i*chunk + r."""
+    mv = n // KV, and sits at positions (j, k), j = i*chunk + r.  With
+    ``serial=True`` (small n) the chains are the K lanes themselves
+    (chain k owns [k*m, (k+1)*m), m serial steps — an 8x narrower
+    cross-chain fixup, see msm_pallas.SERIAL_MAX_N)."""
     L, n = x.shape
     K = lanes
     m = n // K
-    KV = K * chunk
+    KV = K if serial else K * chunk
     mv = n // KV
     B = (1 << (c - 1)) + 1
     if group is None:
@@ -434,14 +437,20 @@ def _fused_msm_body(x, ycat, packed_digits, c: int, lanes: int, chunk: int,
     if scan_fn is None:
         from snarkos_tpu.ops import msm_pallas
 
-        scan_fn = msm_pallas.bucket_scan_fast if fast else msm_pallas.bucket_scan
+        if serial:
+            scan_fn = msm_pallas.bucket_scan_serial
+        else:
+            scan_fn = msm_pallas.bucket_scan_fast if fast else msm_pallas.bucket_scan
     seg = group.seg_combine or _default_seg_combine(group)
     bucket_ids = jnp.arange(B, dtype=jnp.int32)
 
-    # static index plumbing for the virtual-chain layout
+    # static index plumbing for the chain layout
     j_idx = jnp.arange(m, dtype=jnp.int32)[:, None]
     k_idx = jnp.arange(K, dtype=jnp.int32)[None, :]
-    src_grid = ((j_idx % chunk) * K + k_idx) * mv + j_idx // chunk  # (m, K)
+    if serial:
+        src_grid = k_idx * m + j_idx  # (m, K): chain k, element j
+    else:
+        src_grid = ((j_idx % chunk) * K + k_idx) * mv + j_idx // chunk
     src_flat = src_grid.reshape(-1)
 
     def plain_add_scan_reverse(vals):
@@ -475,9 +484,13 @@ def _fused_msm_body(x, ycat, packed_digits, c: int, lanes: int, chunk: int,
             sx, sy, sz = scan_fn(xs, ys, heads_lane[None], K, chunk)
 
         # cross-chain carries: inclusive segmented scan of per-chain finals
-        # (chain l = r*K + k finals live in the last `chunk` rows)
-        chain_flag = jnp.max(heads_lane.reshape(mv, chunk, K), axis=0).reshape(1, KV)
-        finals = tuple(t[:, -chunk:, :].reshape(L, KV) for t in (sx, sy, sz))
+        if serial:
+            chain_flag = jnp.max(heads_lane, axis=0)[None]  # (1, K)
+            finals = (sx[:, -1, :], sy[:, -1, :], sz[:, -1, :])
+        else:
+            # chain l = r*K + k finals live in the last `chunk` rows
+            chain_flag = jnp.max(heads_lane.reshape(mv, chunk, K), axis=0).reshape(1, KV)
+            finals = tuple(t[:, -chunk:, :].reshape(L, KV) for t in (sx, sy, sz))
         summ = _hillis_steele_prefix(seg, group, (chain_flag,) + finals, KV, 3)
         ident1 = group.identity(1)
         carry_in = tuple(
@@ -492,21 +505,27 @@ def _fused_msm_body(x, ycat, packed_digits, c: int, lanes: int, chunk: int,
         posc = jnp.maximum(pos, 0)
         chain_of = posc // mv
         i_of = posc % mv
-        flat = (i_of * chunk + chain_of // K) * K + chain_of % K
+        if serial:
+            flat = i_of * K + chain_of
+            cum_heads = jnp.cumsum(heads_lane, axis=0).reshape(-1)
+        else:
+            flat = (i_of * chunk + chain_of // K) * K + chain_of % K
+            # heads seen within the chain up to each position
+            cum_heads = jnp.cumsum(heads_lane.reshape(mv, chunk, K), axis=0).reshape(-1)
         tails = tuple(jnp.take(t.reshape(L, m * K), flat, axis=-1) for t in (sx, sy, sz))
-        # heads seen within the chain up to each position
-        cum_heads = jnp.cumsum(heads_lane.reshape(mv, chunk, K), axis=0).reshape(-1)
         needs_carry = jnp.take(cum_heads, flat) == 0
         carry_at = tuple(jnp.take(t, chain_of, axis=-1) for t in carry_in)
         added = group.add(tails, carry_at)
         sums = group.select(needs_carry, added, tails)
         sums = group.select(nonempty & (bucket_ids > 0), sums, group.identity(B))
 
-        # T_w = Sum_{b>=1} b * S_b
-        if bucket_total is None:
+        # T_w = Sum_{b>=1} b * S_b.  The chunked-scan path does ~2B adds
+        # vs the double Hillis-Steele's 2 B log B, but carries a fixed
+        # ~2 log(KV)*KV-add cross-chain cost — a loss below B ~ 2^11.
+        if bucket_total is None and B >= (1 << 11):
             t_w = _weighted_bucket_total(sums, group, seg, B)
         else:
-            # generic/mock path: (suffix of suffix)[1] via Hillis-Steele
+            # small-B / mock path: (suffix of suffix)[1] via Hillis-Steele
             suffix = plain_add_scan_reverse(sums)
             suffix2 = plain_add_scan_reverse(suffix)
             t_w = tuple(t[..., 1:2] for t in suffix2)
@@ -540,6 +559,9 @@ def _msm_affine_jit(x: jax.Array, y: jax.Array, scalar_limbs: jax.Array, c: int 
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     n = scalar_limbs.shape[-1]
+    serial = n <= msm_pallas.SERIAL_MAX_N
+    if serial:
+        fast = False  # incomplete-add fast path is a large-N optimization
     if c == 0:
         c = fused_window_bits(n)
     if lanes == 0:
@@ -560,7 +582,8 @@ def _msm_affine_jit(x: jax.Array, y: jax.Array, scalar_limbs: jax.Array, c: int 
         out, exc = _fused_msm_body(x, ycat, packed, c, lanes, chunk, use_pallas,
                                    fast=True)
     else:
-        out = _fused_msm_body(x, ycat, packed, c, lanes, chunk, use_pallas)
+        out = _fused_msm_body(x, ycat, packed, c, lanes, chunk, use_pallas,
+                              serial=serial)
         exc = jnp.int32(0)
     return g1ops.JacobianPoints(*tuple(t[..., :1] for t in out)), exc
 

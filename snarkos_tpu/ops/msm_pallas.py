@@ -206,6 +206,73 @@ def bucket_scan(xs: jax.Array, ys: jax.Array, flags: jax.Array,
     return sx, sy, sz
 
 
+# --- serial-chain kernels (small-N engine) ----------------------------------
+#
+# For small MSMs (the puzzle prover's 2^12 commits/opens) the wide layout
+# degenerates: KV = K*CHUNK chains leave <= 1 element per chain and push
+# ALL the combining into the cross-chain Hillis-Steele pass (log KV steps
+# x KV-wide group adds per window, the per-window fixed cost that
+# dominated the r3 prover at 0.5 sol/s).  The serial kernels keep ONE
+# chain per lane (K chains, m serial steps — the r3 layout), an 8x
+# narrower fixup, and are selected by ops/msm.py below SERIAL_MAX_N.
+
+SERIAL_MAX_N = 1 << 15
+
+
+def _scan_kernel_serial(one_ref, xs_ref, ys_ref, fl_ref, ox_ref, oy_ref,
+                        oz_ref, carry_ref):
+    """Per-lane serial segmented scan: chain k owns sorted run
+    [k*m, (k+1)*m); CHUNK steps per grid invocation; carry (3, L, K)."""
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        carry_ref[...] = jnp.zeros_like(carry_ref)
+
+    one = one_ref[...]
+
+    def body(j, _):
+        qx = xs_ref[:, j, :]
+        qy = ys_ref[:, j, :]
+        reset = fl_ref[:, j, :] != 0  # (1, K)
+        p = g1.JacobianPoints(carry_ref[0], carry_ref[1], carry_ref[2])
+        out = g1.madd_impl(p, qx, qy, one=one)
+        out_x = jnp.where(reset, qx, out.x)
+        out_y = jnp.where(reset, qy, out.y)
+        out_z = jnp.where(reset, one, out.z)
+        carry_ref[0], carry_ref[1], carry_ref[2] = out_x, out_y, out_z
+        ox_ref[:, j, :] = out_x
+        oy_ref[:, j, :] = out_y
+        oz_ref[:, j, :] = out_z
+        return 0
+
+    jax.lax.fori_loop(0, xs_ref.shape[1], body, 0)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def bucket_scan_serial(xs: jax.Array, ys: jax.Array, flags: jax.Array,
+                       lanes: int = LANES, chunk: int = CHUNK):
+    """Serial-chain variant of ``bucket_scan`` (K chains of m steps)."""
+    L, m, K = xs.shape
+    assert K == lanes and m % chunk == 0, (xs.shape, lanes, chunk)
+    from snarkos_tpu.ops import modarith as fa
+
+    one = fa.broadcast_const(FQ, 1, (K,))
+    coord = pl.BlockSpec((L, chunk, K), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    flag = pl.BlockSpec((1, chunk, K), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    onespec = pl.BlockSpec((L, K), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((L, m, K), jnp.int32)
+    with fa.unrolled_muls():
+        return pl.pallas_call(
+            _scan_kernel_serial,
+            grid=(m // chunk,),
+            in_specs=[onespec, coord, coord, flag],
+            out_specs=[coord] * 3,
+            out_shape=[shape] * 3,
+            scratch_shapes=[pltpu.VMEM((3, L, K), jnp.int32)],
+            interpret=_interpret(),
+        )(one, xs, ys, flags)
+
+
 # --- plain Jacobian scan (bucket-phase suffix sums) -------------------------
 
 JADD_LANES = 128

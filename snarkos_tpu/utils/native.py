@@ -129,6 +129,11 @@ def _load_g1():
         lib.g1_msm.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
                                ctypes.c_long, ctypes.c_char_p]
         lib.g1_msm.restype = ctypes.c_int
+        if hasattr(lib, "g1_msm_mt"):
+            lib.g1_msm_mt.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                      ctypes.c_long, ctypes.c_int,
+                                      ctypes.c_char_p]
+            lib.g1_msm_mt.restype = ctypes.c_int
         lib.g1_fixed_base_gen.argtypes = [ctypes.c_uint64, ctypes.c_long,
                                           ctypes.c_void_p]
         lib.g1_fixed_base_gen.restype = ctypes.c_int
@@ -170,6 +175,24 @@ def g1_msm(scalars: list, affine_points: list):
                     for x, y in affine_points)
     out = ctypes.create_string_buffer(144)
     if lib.g1_msm(sbuf, pbuf, n, out) != 0:
+        return None
+    raw = out.raw
+    return tuple(int.from_bytes(raw[i * 48:(i + 1) * 48], "little")
+                 for i in range(3))
+
+
+def g1_msm_mt(scalars: list, affine_points: list, nthreads: int = 0):
+    """Multi-threaded native Pippenger (nthreads<=0: hardware threads).
+    Same contract as ``g1_msm``; the honest machine-scale CPU baseline."""
+    lib = _load_g1()
+    if lib is None or not hasattr(lib, "g1_msm_mt"):
+        return None
+    n = len(scalars)
+    sbuf = b"".join(int(k).to_bytes(32, "little") for k in scalars)
+    pbuf = b"".join(int(x).to_bytes(48, "little") + int(y).to_bytes(48, "little")
+                    for x, y in affine_points)
+    out = ctypes.create_string_buffer(144)
+    if lib.g1_msm_mt(sbuf, pbuf, n, int(nthreads), out) != 0:
         return None
     raw = out.raw
     return tuple(int.from_bytes(raw[i * 48:(i + 1) * 48], "little")

@@ -123,11 +123,30 @@ def _mock3_scan(xs, ys, flags, lanes, chunk):
     return tuple(outs)
 
 
+def _mock3_scan_serial(xs, ys, flags, lanes, chunk):
+    """Serial-chain mock scan: chain k owns rows j = 0..m-1 of lane k
+    (the small-N engine layout)."""
+    L, m, K = xs.shape
+    outs = []
+    for v in (xs, ys, jnp.ones_like(xs)):
+        carry = jnp.zeros((L, K), jnp.int64)
+        rows = []
+        for j in range(m):
+            reset = flags[:, j, :] != 0
+            carry = jnp.where(reset, v[:, j, :].astype(jnp.int64),
+                              (carry + v[:, j, :]) % MOCK_MOD)
+            rows.append(carry)
+        outs.append(jnp.stack(rows, axis=1).astype(jnp.int32))
+    return tuple(outs)
+
+
+@pytest.mark.parametrize("serial", [False, True])
 @pytest.mark.parametrize("c", [4, 6])
 @pytest.mark.parametrize("n,lanes,chunk", [(16, 4, 2), (64, 8, 4), (100, 4, 2)])
-def test_fused_engine_mock_group(c, n, lanes, chunk):
+def test_fused_engine_mock_group(c, n, lanes, chunk, serial):
     """The fused signed-window engine computes sum_i k_i * y_i in the
-    y-component of the mock group (signs enter via the [y | -y] gather)."""
+    y-component of the mock group (signs enter via the [y | -y] gather),
+    in both the wide-chain and serial-chain layouts."""
     scalars = [RNG.randrange(params.FR_MODULUS) for _ in range(n)]
     scalars[0] = 0
     ys = [RNG.randrange(1, MOCK_MOD) for _ in range(n)]
@@ -144,7 +163,8 @@ def test_fused_engine_mock_group(c, n, lanes, chunk):
     packed = msm_mod.signed_window_digits(limbs, c)
     out = msm_mod._fused_msm_body(
         x_arr, ycat, packed, c, lanes, chunk, use_pallas=False,
-        group=_mock3_group(), scan_fn=_mock3_scan)
+        group=_mock3_group(),
+        scan_fn=_mock3_scan_serial if serial else _mock3_scan, serial=serial)
     got_y = int(np.asarray(out[1])[0, 0])
     expect_y = sum(k * y for k, y in zip(scalars, ys)) % MOCK_MOD
     assert got_y == expect_y
