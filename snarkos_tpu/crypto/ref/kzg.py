@@ -33,14 +33,37 @@ class SRS:
         if tau is None:
             # deterministic test tau (NOT secure; fine for vectors/bench)
             tau = pow(params.FR_GENERATOR, seed + 12345, R)
-        powers = []
+        taus = []
         acc = 1
         for _ in range(degree + 1):
-            powers.append(g1.scalar_mul(acc, g1.GENERATOR))
+            taus.append(acc)
             acc = acc * tau % R
+        powers = cls._powers_native(taus)
+        if powers is None:
+            powers = [g1.scalar_mul(t, g1.GENERATOR) for t in taus]
         h = pairing.G2_GENERATOR
         tau_h = pairing.g2_scalar_mul(tau, h)
         return cls(powers_g1=powers, h=h, tau_h=tau_h)
+
+    @staticmethod
+    def _powers_native(taus: list):
+        """Per-power scalar muls through the native G1 engine (~50x the
+        pure-Python ladder; execution circuits need degree-2^15 SRS,
+        minutes in Python). Bit-exact: results are normalized affine."""
+        if len(taus) < 64:
+            return None
+        from snarkos_tpu.utils import native
+
+        if not native.have_g1():
+            return None
+        gen_aff = g1.affine(g1.GENERATOR)
+        powers = []
+        for t in taus:
+            j = native.g1_msm([t], [gen_aff])
+            if j is None:
+                return None
+            powers.append(g1.from_affine(g1.affine(j)))
+        return powers
 
 
 _SRS_AFFINE_CACHE: dict = {}

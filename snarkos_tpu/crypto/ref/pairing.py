@@ -206,6 +206,8 @@ def g2_scalar_mul(k: int, p):
         from snarkos_tpu.utils import native
 
         out = native.g2_scalar_mul(k, p)
+        if out is native.G2_INF:
+            return None  # genuine infinity result (distinct from engine-missing)
         if out is not None:
             return out
     acc = None

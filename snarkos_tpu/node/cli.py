@@ -54,6 +54,14 @@ def _add_start_args(p: argparse.ArgumentParser):
                    help="skip block verification (devnet)")
     p.add_argument("--dev-txs", action="store_true", help="generate dev transactions")
     p.add_argument("--puzzle-log-degree", type=int, default=None)
+    p.add_argument("--srs", default=None,
+                   help="powers-of-tau SRS artifact (crypto/srs_artifact.py "
+                        "format); REQUIRED outside --dev mode")
+    p.add_argument("--srs-digest", default=None,
+                   help="pinned sha256 hex of the --srs artifact")
+    p.add_argument("--allow-dev-srs", action="store_true",
+                   help="explicitly accept the KNOWN dev tau outside --dev "
+                        "mode (UNSOUND: anyone can forge proofs)")
     p.add_argument("--verbosity", type=int, default=1,
                    help="0-6: deeper layers log debug as it grows "
                         "(consensus, bft, gateway, router, sync, tcp)")
@@ -164,6 +172,20 @@ async def _run_start(args) -> None:
         trusted_peers = _parse_peer_list(args.peers)
         trusted_validators = _parse_peer_list(args.validators)
         storage = args.storage or os.path.join(DEFAULT_DATA_DIR, "ledger.dat")
+
+    # production SRS story (r4 missing #3): outside --dev mode the node
+    # refuses to run on the KNOWN dev tau — a real powers-of-tau artifact
+    # (digest-pinned, pairing-validated at load) is required, unless the
+    # operator explicitly opts into unsoundness with --allow-dev-srs.
+    if args.srs:
+        os.environ["SNARKOS_TPU_SRS_PATH"] = args.srs
+        if args.srs_digest:
+            os.environ["SNARKOS_TPU_SRS_DIGEST"] = args.srs_digest
+    elif args.dev is None and not args.allow_dev_srs:
+        print("--srs <artifact> is required outside --dev mode (the dev SRS "
+              "tau is public knowledge; pass --allow-dev-srs to override)",
+              file=sys.stderr)
+        sys.exit(1)
 
     if args.puzzle_log_degree is not None:
         os.environ["SNARKOS_TPU_PUZZLE_LOG_DEGREE"] = str(args.puzzle_log_degree)

@@ -112,6 +112,10 @@ mapping committee:
     key as address.public;
     value as boolean.public;
 
+record credits:
+    owner as address.private;
+    microcredits as u64.private;
+
 function transfer_public:
     input r0 as address.public;
     input r1 as u64.public;
@@ -128,6 +132,48 @@ finalize transfer_public:
     get.or_use account[r1] 0u64 into r5;
     add r5 r2 into r6;
     set r6 into account[r1];
+
+function transfer_public_to_private:
+    input r0 as address.private;
+    input r1 as u64.public;
+    cast r0 r1 into r2 as credits.record;
+    async transfer_public_to_private self.caller r1 into r3;
+    output r2 as credits.record;
+    output r3 as credits.aleo/transfer_public_to_private.future;
+
+finalize transfer_public_to_private:
+    input r0 as address.public;
+    input r1 as u64.public;
+    get account[r0] into r2;
+    sub r2 r1 into r3;
+    set r3 into account[r0];
+
+function transfer_private:
+    input r0 as credits.record;
+    input r1 as address.private;
+    input r2 as u64.private;
+    sub r0.microcredits r2 into r3;
+    cast r0.owner r3 into r4 as credits.record;
+    cast r1 r2 into r5 as credits.record;
+    output r4 as credits.record;
+    output r5 as credits.record;
+
+function transfer_private_to_public:
+    input r0 as credits.record;
+    input r1 as address.public;
+    input r2 as u64.public;
+    sub r0.microcredits r2 into r3;
+    cast r0.owner r3 into r4 as credits.record;
+    async transfer_private_to_public r1 r2 into r5;
+    output r4 as credits.record;
+    output r5 as credits.aleo/transfer_private_to_public.future;
+
+finalize transfer_private_to_public:
+    input r0 as address.public;
+    input r1 as u64.public;
+    get.or_use account[r0] 0u64 into r2;
+    add r2 r1 into r3;
+    set r3 into account[r0];
 
 function bond_public:
     input r0 as u64.public;
@@ -407,18 +453,34 @@ class Ledger:
                 # function commits WITHOUT re-executing the body — the
                 # claimed finalize args are exactly what the proof binds
                 # (reference semantics: the transition proof enforces the
-                # function, finalize runs on-chain, ledger.rs:366-383)
+                # function, finalize runs on-chain, ledger.rs:366-383).
+                # Record inputs arrive as PUBLIC serial tokens (the proof
+                # derives them in-circuit from the hidden plaintext);
+                # record outputs as commitments + sealed ciphertexts.
                 if tx.exec_proof and exec_circuit_for(prog, fn_name) is not None:
                     claimed = _parse_exec_outs(prog, fn_name, tx.exec_outs)
                     if claimed is None:
                         raise avm.HaltError("malformed exec outputs")
+                    serials = []
+                    for t, (_r, ty, _v) in zip(args_toks, fn.inputs):
+                        if ty in prog.records:
+                            if not t.startswith("serial:"):
+                                raise avm.HaltError("record input needs serial")
+                            raw = bytes.fromhex(t[len("serial:"):])
+                            if raw in self.spent_serials or raw in serials:
+                                raise avm.HaltError("record already spent")
+                            serials.append(raw)
                     if fn.finalize_name is not None:
                         n_fin = len(prog.finalizes[fn.finalize_name].inputs)
                         call = avm.FinalizeCall(
                             program_id=prog.id, function=fn.finalize_name,
-                            args=claimed[:n_fin])
+                            args=claimed["values"][:n_fin])
                         store = avm.MappingStore(self.mappings)
                         avm.execute_finalize(prog, call, store, ctx)
+                    self.spent_serials.update(serials)
+                    for ct in claimed["rec_cts"]:
+                        self.record_ciphertexts.setdefault(
+                            block_height, []).append(ct)
                     return
                 args, serials = [], []
                 for t, (_, ty, _) in zip(args_toks, fn.inputs):
@@ -485,14 +547,17 @@ class Ledger:
     def find_block_height_by_state_root(self, root: bytes) -> Optional[int]:
         return self.state_tree.height_of_root(root)
 
-    def state_path_for_transmission(self, tid_digest: bytes) -> Optional[dict]:
+    def state_path_for_transmission(self, tid_digest: bytes,
+                                    at_height: Optional[int] = None) -> Optional[dict]:
         with self.lock:
-            return self.state_tree.transmission_path(self.blocks, tid_digest)
+            return self.state_tree.transmission_path(self.blocks, tid_digest,
+                                                     at_height)
 
-    def state_path_for_mapping(self, program: str, mapping: str,
-                               key: str) -> Optional[dict]:
+    def state_path_for_mapping(self, program: str, mapping: str, key: str,
+                               at_height: Optional[int] = None) -> Optional[dict]:
         with self.lock:
-            return self.state_tree.mapping_path(program, mapping, key)
+            return self.state_tree.mapping_path(program, mapping, key,
+                                                at_height)
 
     # -- queries -------------------------------------------------------------
     @property
@@ -596,6 +661,12 @@ class Ledger:
         from snarkos_tpu.ops import kzg as kzg_ops
         from snarkos_tpu.ops.puzzle import global_puzzle
 
+        # same-block deploy->execute: executes must verify against an
+        # OVERLAY registry that registers deploys in transmission order —
+        # exactly the order _index_block applies them — else an execute of
+        # a program deployed earlier in this block would require no proof
+        # here yet take the SNARK fast path at commit (r4 advisory, high)
+        overlay = dict(self.parsed_programs)
         openings = []
         for t in block.transmissions:
             obj = t.deserialize()
@@ -606,11 +677,30 @@ class Ledger:
                 openings.append(opening)
             else:
                 # [beta, delta] pairs for auth AND (if provable) execution
-                tx_openings = transaction_opening(obj, self.parsed_programs)
+                tx_openings = transaction_opening(obj, overlay)
                 if tx_openings is None:
                     raise ValueError("invalid transaction in block")
                 openings.extend(tx_openings)
-        if openings and not kzg_ops.batch_verify(global_puzzle().srs.srs_ref, openings):
+                if obj.is_deploy and obj.payload.startswith(b"program "):
+                    from snarkos_tpu import vm as avm
+
+                    try:
+                        prog = avm.parse_program(
+                            obj.payload.decode(errors="replace"))
+                        overlay.setdefault(prog.id, prog)
+                    except avm.ParseError:
+                        pass
+        # point side of the batch runs on device when a TPU is attached;
+        # otherwise the host RLC verifier computes the identical equation
+        # (compiling the device MSM engine on CPU XLA explodes — the
+        # engine's shapes are Mosaic-first, kgz device tests cover them)
+        import jax as _jax
+
+        if _jax.default_backend() in ("tpu", "axon"):
+            batch_ok = lambda srs_, ops_: kzg_ops.batch_verify(srs_, ops_)
+        else:
+            batch_ok = lambda srs_, ops_: ref_kzg.batch_verify(srs_, ops_)
+        if openings and not batch_ok(global_puzzle().srs.srs_ref, openings):
             # pinpoint the offender for the error message (rare path)
             srs = global_puzzle().srs.srs_ref
             for i, (c, z, y, w) in enumerate(openings):
@@ -715,10 +805,16 @@ def global_varuna():
 
         cs, k_var = r1cs_mod.auth_circuit()
         need = varuna.required_srs_degree(cs)
-        base = global_puzzle().srs.srs_ref
+        puzzle_srs = global_puzzle().srs
+        base = puzzle_srs.srs_ref
         if len(base.powers_g1) >= need + 1:
             srs = ref_kzg.SRS(powers_g1=base.powers_g1[: need + 1],
                               h=base.h, tau_h=base.tau_h)
+        elif not puzzle_srs.is_dev:
+            # artifact mode: minting a fresh dev-tau SRS here would
+            # silently reintroduce the known tau (r4 missing #3)
+            raise RuntimeError(
+                f"SRS artifact too small: auth circuit needs degree {need}")
         else:
             tau = pow(params.FR_GENERATOR, 0xDEADBEEF, R)
             srs = ref_kzg.SRS.setup(need, tau=tau)
@@ -757,31 +853,53 @@ def credits_program():
 
 
 def execution_srs(need: int):
-    """Trimmed SRS for an execution circuit (same dev-tau family as the
+    """Trimmed SRS for an execution circuit (same tau family as the
     puzzle/auth SRS so all pairings batch into one multi-pairing; the
-    trim is REQUIRED for the degree-bound shadow soundness)."""
+    trim is REQUIRED for the degree-bound shadow soundness). Dev SRS
+    larger than the puzzle base (record/privacy circuits reach degree
+    2^15) are disk-cached as artifacts under .cache/."""
     srs = _EXEC_SRS_CACHE.get(need)
     if srs is None:
         from snarkos_tpu.ops.puzzle import global_puzzle
 
-        base = global_puzzle().srs.srs_ref
+        puzzle_srs = global_puzzle().srs
+        base = puzzle_srs.srs_ref
         if len(base.powers_g1) >= need + 1:
             srs = ref_kzg.SRS(powers_g1=base.powers_g1[: need + 1],
                               h=base.h, tau_h=base.tau_h)
+        elif not puzzle_srs.is_dev:
+            raise RuntimeError(
+                f"SRS artifact too small: execution circuit needs degree {need}")
         else:
-            tau = pow(params.FR_GENERATOR, 0xDEADBEEF, R)
-            srs = ref_kzg.SRS.setup(need, tau=tau)
+            from snarkos_tpu.crypto import srs_artifact
+
+            cache_dir = os.path.join(os.path.dirname(__file__), "..", "..",
+                                     ".cache")
+            os.makedirs(cache_dir, exist_ok=True)
+            path = os.path.join(cache_dir, f"exec_srs_{need}.srs")
+            srs = None
+            if os.path.exists(path):
+                try:  # local cache: skip the pairing re-validation
+                    srs = srs_artifact.load_srs(path, check=False)
+                except srs_artifact.SRSArtifactError:
+                    srs = None
+            if srs is None or len(srs.powers_g1) != need + 1:
+                tau = pow(params.FR_GENERATOR, 0xDEADBEEF, R)
+                srs = ref_kzg.SRS.setup(need, tau=tau)
+                srs_artifact.save_srs(path, srs)
         _EXEC_SRS_CACHE[need] = srs
     return srs
 
 
 def _address_field(addr: str) -> int:
-    """Public-input encoding of a caller address (0 for anonymous)."""
+    """Public-input encoding of a caller address (0 for anonymous):
+    Poseidon binding of the full compressed encoding (vm/circuit.py
+    address_field — no decompression, both coordinates bound)."""
     if not addr or addr == ZERO_ADDRESS:
         return 0
-    from snarkos_tpu.node.types import address_to_point
+    from snarkos_tpu.vm import circuit as vmc
 
-    return address_to_point(addr)[0] % R
+    return vmc.address_field(addr)
 
 
 def _parse_execute_payload(payload: bytes):
@@ -817,9 +935,17 @@ def exec_circuit_for(program, fn_name: str):
     return circ, srs
 
 
+def _is_future_output(spec, program) -> bool:
+    ty = spec[1]
+    vis = spec[2] if len(spec) > 2 else None
+    return vis == "future" or ty.endswith(".future") or "/" in ty
+
+
 def _exec_output_types(program, fn_name: str) -> list | None:
-    """Declared claimed-output types: finalize input types (minus none),
-    then literal (non-future) output types."""
+    """Declared claimed-VALUE-token types: finalize input types, then
+    PUBLIC literal (non-future, non-record, non-private) output types.
+    Private outputs and record outputs never appear as value tokens —
+    they are carried as commitments/ciphertexts (vm/circuit.py layout)."""
     fn = program.functions.get(fn_name)
     if fn is None:
         return None
@@ -829,25 +955,75 @@ def _exec_output_types(program, fn_name: str) -> list | None:
         if fin is None or len(fin.inputs) != len(fn.finalize_args):
             return None
         tys += [ty for (_r, ty) in fin.inputs]
-    tys += [ty for (_t, ty) in fn.outputs
-            if not (ty.endswith(".future") or "/" in ty)]
+    for spec in fn.outputs:
+        if _is_future_output(spec, program):
+            continue
+        ty = spec[1]
+        vis = spec[2] if len(spec) > 2 else None
+        if ty.split(".")[0] in program.records:
+            continue
+        if vis == "private":
+            continue
+        tys.append(ty)
     return tys
 
 
+def _n_record_outputs(program, fn_name: str) -> int:
+    fn = program.functions[fn_name]
+    return sum(1 for spec in fn.outputs
+               if not _is_future_output(spec, program)
+               and spec[1].split(".")[0] in program.records)
+
+
 def _parse_exec_outs(program, fn_name: str, exec_outs: bytes):
-    """Claimed outputs -> list[vm Value], or None if malformed."""
+    """Claimed outputs -> dict with keys c_in, values (list[vm Value] —
+    finalize args then public outputs), rec_comms, c_privout, rec_cts;
+    or None if malformed. Token format (prove_execution emits it):
+
+        cin:<hex> <value tokens...> [reccomm:<hex>]* cpriv:<hex>
+        [recct:<hex>]*
+    """
     from snarkos_tpu import vm as avm
 
     tys = _exec_output_types(program, fn_name)
     if tys is None:
         return None
+    n_rec = _n_record_outputs(program, fn_name)
     toks = exec_outs.decode(errors="replace").split()
-    if len(toks) != len(tys):
-        return None
     try:
-        return [avm.parse_typed(t, ty) for t, ty in zip(toks, tys)]
+        if not toks or not toks[0].startswith("cin:"):
+            return None
+        c_in = int(toks[0][len("cin:"):], 16)
+        toks = toks[1:]
+        if len(toks) < len(tys):
+            return None
+        values = [avm.parse_typed(t, ty) for t, ty in zip(toks, tys)]
+        toks = toks[len(tys):]
+        rec_comms = []
+        for _ in range(n_rec):
+            if not toks or not toks[0].startswith("reccomm:"):
+                return None
+            rec_comms.append(int(toks[0][len("reccomm:"):], 16))
+            toks = toks[1:]
+        if not toks or not toks[0].startswith("cpriv:"):
+            return None
+        c_privout = int(toks[0][len("cpriv:"):], 16)
+        toks = toks[1:]
+        rec_cts = []
+        for _ in range(n_rec):
+            if not toks or not toks[0].startswith("recct:"):
+                return None
+            rec_cts.append(bytes.fromhex(toks[0][len("recct:"):]))
+            toks = toks[1:]
+        if toks:
+            return None
+        if not (0 <= c_in < R and 0 <= c_privout < R
+                and all(0 <= c < R for c in rec_comms)):
+            return None
     except Exception:
         return None
+    return {"c_in": c_in, "values": values, "rec_comms": rec_comms,
+            "c_privout": c_privout, "rec_cts": rec_cts}
 
 
 def execution_openings(tx: Transaction, programs: dict):
@@ -878,20 +1054,43 @@ def execution_openings(tx: Transaction, programs: dict):
     fn = program.functions[fn_name]
     if len(args_toks) != len(fn.inputs):
         return None
+    # input tokens by declared visibility: public -> value field;
+    # record -> serial token (the public spend tag); private -> '-'
+    # placeholder (the value is witness-only, bound by C_in)
+    input_fields, serials = [], []
     try:
-        args = [avm.parse_typed(t, ty) for t, (_r, ty, _v) in zip(args_toks, fn.inputs)]
-        input_fields = [vmc.value_to_public_field(v) for v in args]
+        for t, (_r, ty, vis) in zip(args_toks, fn.inputs):
+            if ty in program.records:
+                if not t.startswith("serial:"):
+                    return None
+                raw = bytes.fromhex(t[len("serial:"):])
+                if len(raw) != 32:
+                    return None
+                sf = int.from_bytes(raw, "little")
+                if sf >= R:
+                    return None
+                serials.append(sf)
+            elif vis == "public":
+                input_fields.append(
+                    vmc.value_to_public_field(avm.parse_typed(t, ty)))
+            else:
+                if t != "-":
+                    return None
+        caller_field = _address_field(caller)
     except Exception:
         return None
-    outs = _parse_exec_outs(program, fn_name, tx.exec_outs)
-    if outs is None:
+    parsed = _parse_exec_outs(program, fn_name, tx.exec_outs)
+    if parsed is None:
         return None
     try:
-        output_fields = [vmc.value_to_public_field(v) for v in outs]
+        output_fields = [vmc.value_to_public_field(v) for v in parsed["values"]]
     except vmc.SynthesisUnsupported:
         return None
-    publics = vmc.build_publics(circ, _address_field(caller), input_fields,
-                                output_fields)
+    publics = vmc.build_publics(circ, caller_field, input_fields,
+                                output_fields, c_in=parsed["c_in"],
+                                serials=serials,
+                                rec_out_comms=parsed["rec_comms"],
+                                c_privout=parsed["c_privout"])
     if publics is None:
         return None
     try:
@@ -922,23 +1121,73 @@ def deployment_vk_check(tx: Transaction) -> bool:
     return claimed == {fn: d.hex() for fn, d in expected.items()}
 
 
+def _srs_tag(srs) -> bytes:
+    """Cheap binding identity of an SRS: (tau G, length) — tau G
+    determines every power."""
+    from snarkos_tpu.crypto.ref import g1 as ref_g1
+
+    a = ref_g1.affine(srs.powers_g1[1])
+    return hashlib.sha256(
+        a[0].to_bytes(48, "little") + a[1].to_bytes(48, "little")
+        + len(srs.powers_g1).to_bytes(8, "little")).digest()
+
+
 def deployment_vk_digests(program) -> dict:
-    """fn name -> vk digest for every provable function of ``program``."""
+    """fn name -> vk digest for every provable function of ``program``.
+
+    Digests are disk-cached keyed by (source hash, fn, SRS identity):
+    Varuna indexing of the record/privacy circuits (degree 2^15) costs
+    tens of seconds in the host prover, and every gossiped deploy
+    recomputes the full digest map (deployment_vk_check)."""
     from snarkos_tpu.vm import circuit as vmc
 
+    src_h = hashlib.sha256(program.source.encode()).hexdigest()[:24]
+    cache_dir = os.path.join(os.path.dirname(__file__), "..", "..", ".cache",
+                             "vkdigests")
     out = {}
     for fn_name in program.functions:
+        fn = program.functions[fn_name]
+        # cheap pre-screen: compile (cached, no indexing) before the SRS
+        try:
+            circ = vmc.compile_function(program, fn_name)
+        except Exception:
+            continue
+        path = os.path.join(cache_dir, f"{src_h}_{fn_name}.bin")
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                raw = f.read()
+            if len(raw) == 64:
+                tag, digest = raw[:32], raw[32:]
+                from snarkos_tpu.crypto.ref import varuna as _v
+
+                srs = execution_srs(_v.required_srs_degree(circ.cs))
+                if tag == _srs_tag(srs):
+                    out[fn_name] = digest
+                    continue
         ctx = exec_circuit_for(program, fn_name)
         if ctx is None:
             continue
         circ, srs = ctx
-        out[fn_name] = vmc.vk_digest(circ, srs)
+        digest = vmc.vk_digest(circ, srs)
+        out[fn_name] = digest
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(_srs_tag(srs) + digest)
+        os.replace(tmp, path)
     return out
 
 
-def prove_execution(payload: bytes, fee: int, key: int, program) -> tuple:
+def prove_execution(payload: bytes, fee: int, key: int, program,
+                    private_args: list | None = None) -> tuple:
     """(exec_proof, exec_outs) for an execute payload, or (b"", b"") when
-    the target function is not provable. Raises on a faulting trace."""
+    the target function is not provable. Raises on a faulting trace.
+
+    ``private_args``: list aligned with the function's inputs supplying
+    the vm Values for ``.private`` literal inputs (payload token ``-``)
+    and record inputs (payload token ``serial:<hex>`` — the PUBLIC spend
+    tag; the plaintext never enters the payload). Entries for public
+    inputs are ignored."""
     from snarkos_tpu import vm as avm
     from snarkos_tpu.crypto.ref import varuna
     from snarkos_tpu.vm import circuit as vmc
@@ -957,20 +1206,57 @@ def prove_execution(payload: bytes, fee: int, key: int, program) -> tuple:
         return b"", b""
     circ, srs = ctx
     fn = program.functions[fn_name]
-    args = [avm.parse_typed(t, ty) for t, (_r, ty, _v) in zip(args_toks, fn.inputs)]
+    if len(args_toks) != len(fn.inputs):
+        raise avm.HaltError("input arity mismatch")
+    args = []
+    for i, (t, (_r, ty, vis)) in enumerate(zip(args_toks, fn.inputs)):
+        if ty in program.records:
+            v = private_args[i] if private_args else None
+            if v is None or v.ty != ty:
+                raise avm.HaltError(
+                    f"record input {i} requires its Value in private_args")
+            expected = "serial:" + avm.record_serial(program.id, ty, v).hex()
+            if t != expected:
+                raise avm.HaltError("payload serial does not match the record")
+            args.append(v)
+        elif vis == "public":
+            args.append(avm.parse_typed(t, ty))
+        else:
+            v = private_args[i] if private_args else None
+            if t != "-" or v is None:
+                raise avm.HaltError(
+                    f"private input {i} requires '-' token and private_args")
+            if v.ty != ty:
+                raise avm.HaltError(f"private input {i}: {v.ty} != {ty}")
+            args.append(v)
     # interpreter pass for the claimed outputs (printable tokens)
     ectx = avm.ExecContext(program=program, caller=caller, block_height=0,
                            tx_seed=b"prove")
     result = avm.execute_function(program, fn_name, args, ectx)
-    toks = []
+    blind_seed = hashlib.sha256(b"snarkos_tpu.exec.blind"
+                                + key.to_bytes(32, "little") + payload).digest()
+    _circ, z, publics = vmc.trace_execution(program, fn_name, args,
+                                            _address_field(caller), blind_seed)
+    stmt = vmc.statement_parts(circ, publics)
+    toks = [f"cin:{stmt['c_in']:x}"]
     if result.finalize is not None:
         toks += [vmv.format_value(v) for v in result.finalize.args]
-    for out, (_t, ty) in zip(result.outputs, fn.outputs):
-        if not (ty.endswith(".future") or "/" in ty):
-            toks.append(vmv.format_value(out))
+    rec_values = []
+    outs_nonfuture = [s for s in fn.outputs if not _is_future_output(s, program)]
+    for out, spec in zip(result.outputs, outs_nonfuture):
+        ty = spec[1]
+        vis = spec[2] if len(spec) > 2 else None
+        if ty.split(".")[0] in program.records:
+            rec_values.append((ty.split(".")[0], out))
+            continue
+        if vis == "private":
+            continue  # bound by C_privout, never revealed
+        toks.append(vmv.format_value(out))
+    toks += [f"reccomm:{c:x}" for c in stmt["rec_comms"]]
+    toks.append(f"cpriv:{stmt['c_privout']:x}")
+    for base, v in rec_values:
+        toks.append("recct:" + avm.seal_record(program.id, base, v).hex())
     exec_outs = " ".join(toks).encode()
-    _circ, z, _pub = vmc.trace_execution(program, fn_name, args,
-                                         _address_field(caller))
     mask_seed = hashlib.sha256(b"snarkos_tpu.exec.mask"
                                + key.to_bytes(32, "little") + payload).digest()
     proof = varuna.prove(srs, circ.cs, z, mask_seed=mask_seed)
@@ -1050,7 +1336,8 @@ def sign_execute_payload(payload: bytes, fee: int, account) -> bytes:
 
 def create_transaction(payload: bytes, fee: int = 0, key: int | None = None,
                        is_deploy: bool = False, account=None,
-                       program=None) -> Transaction:
+                       program=None, private_args: list | None = None
+                       ) -> Transaction:
     """Build a valid transaction: prove knowledge of the authorization key
     k with Poseidon2(k, m) = auth_tag (host prover; the device prover is
     ops/varuna.py). Passing ``account`` (an edwards.Account) signs an
@@ -1086,7 +1373,8 @@ def create_transaction(payload: bytes, fee: int = 0, key: int | None = None,
         if program is None and parts is not None and parts[0] == "credits.aleo":
             program = credits_program()
         if program is not None:
-            exec_proof, exec_outs = prove_execution(payload, fee, key, program)
+            exec_proof, exec_outs = prove_execution(payload, fee, key, program,
+                                                    private_args=private_args)
     elif is_deploy and payload.startswith(b"program "):
         from snarkos_tpu import vm as avm
 

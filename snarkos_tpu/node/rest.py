@@ -386,18 +386,26 @@ class Rest:
                 if root is None:
                     return 404, {"error": "unknown height"}
                 return 200, root.hex()
-            case ["statePath", "mapping", program_id, mapping, key]:
-                proof = ledger.state_path_for_mapping(program_id, mapping, key)
+            case ["statePath", "mapping", program_id, mapping, key, *rest] \
+                    if all(s.isdigit() for s in rest) and len(rest) <= 1:
+                h = int(rest[0]) if rest else None
+                proof = ledger.state_path_for_mapping(program_id, mapping,
+                                                      key, h)
                 if proof is None:
-                    return 404, {"error": "mapping entry not found"}
+                    return 404, {"error": "mapping entry not found at height"}
                 return 200, proof
-            case ["statePath", tid_hex]:
-                # Merkle inclusion proof under the latest state root
+            case ["statePath", tid_hex, *rest] \
+                    if all(s.isdigit() for s in rest) and len(rest) <= 1:
+                # Merkle inclusion proof under the state root at the
+                # trailing height (default: latest state root) —
+                # light clients verify against any root they trust
                 # (state_tree.verify_transmission_path checks it;
                 # routes.rs:256-269 statePath semantics)
-                proof = ledger.state_path_for_transmission(bytes.fromhex(tid_hex))
+                h = int(rest[0]) if rest else None
+                proof = ledger.state_path_for_transmission(
+                    bytes.fromhex(tid_hex), h)
                 if proof is None:
-                    return 404, {"error": "transaction not found"}
+                    return 404, {"error": "transaction not found at height"}
                 return 200, proof
             # program/mapping reads (lib.rs:132-191 program routes). The
             # full-mapping dump is JWT-guarded like the reference's bulk

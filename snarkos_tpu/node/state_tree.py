@@ -137,13 +137,25 @@ class StateTree:
     block-leaf list grows append-only.
     """
 
+    # heights of retained mapping-entry snapshots: historical mapping
+    # proofs are servable this far back (matching the reference's
+    # recent-locator window); block-side proofs are servable at EVERY
+    # height (block leaves are append-only)
+    MAPPING_HISTORY = 100
+
     def __init__(self):
         self.block_leaves: list[bytes] = []
         self.tx_roots: list[bytes] = []  # per height
         self.state_roots: list[bytes] = []  # per height
         self.mapping_roots: list[bytes] = []  # per height
         self.root_index: dict[bytes, int] = {}  # state_root -> height
-        self._mapping_entries: list[tuple] = []  # sorted at last block
+        self._entries_by_height: dict[int, list] = {}  # recent snapshots
+
+    @property
+    def _mapping_entries(self) -> list:
+        """Sorted mapping entries at the latest height."""
+        h = len(self.state_roots) - 1
+        return self._entries_by_height.get(h, [])
 
     def append_block(self, block, mappings: dict) -> bytes:
         tx_root = merkle_root([tx_leaf(t.id.digest) for t in block.transmissions])
@@ -154,7 +166,9 @@ class StateTree:
             for key, value in kv.items():
                 entries.append((program, mapping, key, value))
         entries.sort()
-        self._mapping_entries = entries
+        h = len(self.state_roots)
+        self._entries_by_height[h] = entries
+        self._entries_by_height.pop(h - self.MAPPING_HISTORY, None)
         mapping_root = merkle_root([mapping_leaf(*e) for e in entries])
         self.mapping_roots.append(mapping_root)
         root = combine_roots(merkle_root(self.block_leaves), mapping_root)
@@ -170,19 +184,32 @@ class StateTree:
     def height_of_root(self, root: bytes) -> Optional[int]:
         return self.root_index.get(root)
 
-    # -- proofs (always against the LATEST root) ----------------------------
+    # -- proofs (latest root by default, or any historical root by height
+    #    — reference routes.rs:252-269 serves statePath against the root
+    #    a light client trusts, not only the tip; r4 verdict #9) ---------
 
-    def transmission_path(self, blocks, tid_digest: bytes) -> Optional[dict]:
-        """Inclusion proof of a transmission id under the latest state root:
-        tid -> tx_root (inner path) -> block leaf -> block_root (outer
-        path) -> state root. ``blocks`` is the ledger's block list."""
-        for block in reversed(blocks):
+    def _resolve_height(self, at_height: Optional[int]) -> Optional[int]:
+        last = len(self.state_roots) - 1
+        h = last if at_height is None else at_height
+        return h if 0 <= h <= last else None
+
+    def transmission_path(self, blocks, tid_digest: bytes,
+                          at_height: Optional[int] = None) -> Optional[dict]:
+        """Inclusion proof of a transmission id under the state root at
+        ``at_height`` (default: latest): tid -> tx_root (inner path) ->
+        block leaf -> block_root (outer path) -> state root. ``blocks``
+        is the ledger's block list. Servable at EVERY height: the outer
+        path is computed over the block-leaf prefix [0..h]."""
+        h = self._resolve_height(at_height)
+        if h is None:
+            return None
+        for block in reversed(blocks[:h + 1]):
             ids = [t.id.digest for t in block.transmissions]
             if tid_digest in ids:
                 tx_index = ids.index(tid_digest)
                 leaves = [tx_leaf(d) for d in ids]
                 inner = audit_path(leaves, tx_index)
-                outer = audit_path(self.block_leaves, block.height)
+                outer = audit_path(self.block_leaves[:h + 1], block.height)
                 return {
                     "type": "transmission",
                     "transmission_id": tid_digest.hex(),
@@ -191,15 +218,23 @@ class StateTree:
                     "tx_root": self.tx_roots[block.height].hex(),
                     "tx_path": [[s.hex(), r] for s, r in inner],
                     "block_path": [[s.hex(), r] for s, r in outer],
-                    "mapping_root": self.mapping_roots[-1].hex(),
-                    "state_root": self.state_roots[-1].hex(),
+                    "mapping_root": self.mapping_roots[h].hex(),
+                    "state_root": self.state_roots[h].hex(),
                 }
         return None
 
-    def mapping_path(self, program: str, mapping: str, key: str) -> Optional[dict]:
-        """Inclusion proof of a (program, mapping, key) -> value entry under
-        the latest state root."""
-        entries = self._mapping_entries
+    def mapping_path(self, program: str, mapping: str, key: str,
+                     at_height: Optional[int] = None) -> Optional[dict]:
+        """Inclusion proof of a (program, mapping, key) -> value entry
+        under the state root at ``at_height`` (default: latest). Mapping
+        snapshots are retained for the last MAPPING_HISTORY heights;
+        older heights return None."""
+        h = self._resolve_height(at_height)
+        if h is None:
+            return None
+        entries = self._entries_by_height.get(h)
+        if entries is None:
+            return None
         for i, e in enumerate(entries):
             if e[:3] == (program, mapping, key):
                 leaves = [mapping_leaf(*x) for x in entries]
@@ -211,8 +246,8 @@ class StateTree:
                     "key": key,
                     "value": e[3],
                     "mapping_path": [[s.hex(), r] for s, r in path],
-                    "block_root": merkle_root(self.block_leaves).hex(),
-                    "state_root": self.state_roots[-1].hex(),
+                    "block_root": merkle_root(self.block_leaves[:h + 1]).hex(),
+                    "state_root": self.state_roots[h].hex(),
                 }
         return None
 

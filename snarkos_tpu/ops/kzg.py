@@ -110,6 +110,28 @@ def eval_and_quotient(coeffs_mont: jax.Array, z: int):
     return FR.decode_fast(np.asarray(y), mont=True)[0], q
 
 
+_eval_quotient_multi_jit = jax.jit(
+    jax.vmap(_eval_quotient_device, in_axes=(1, 1, 1), out_axes=(1, 1)))
+
+
+def eval_and_quotient_multi(coeffs_mont: jax.Array, zs: list):
+    """Batched eval+quotient: (L, B, n) Montgomery coefficient batch and
+    B host points -> (ys host ints, quotients (L, B, n) Montgomery).
+    ONE device dispatch for the whole batch (the puzzle prover's shape;
+    per-nonce eval calls paid a host sync each)."""
+    zs = [z % R for z in zs]
+    if any(z == 0 for z in zs):  # ~2^-253 corner: per-item fallback
+        outs = [eval_and_quotient(coeffs_mont[:, i], z)
+                for i, z in enumerate(zs)]
+        return [y for y, _ in outs], jnp.stack([q for _, q in outs], axis=1)
+    z_mont = jnp.asarray(np.asarray(FR.encode_fast(zs, mont=True))[:, :, None])
+    zinv_mont = jnp.asarray(
+        np.asarray(FR.encode_fast([pow(z, -1, R) for z in zs], mont=True))[:, :, None])
+    y, q = _eval_quotient_multi_jit(coeffs_mont, z_mont, zinv_mont)
+    ys = FR.decode_fast(np.asarray(y[:, :, 0]), mont=True)
+    return list(ys), q
+
+
 def poly_eval(coeffs_mont: jax.Array, z: int) -> int:
     """p(z) for host z over device coefficients (parallel dot with the
     geometric power table; used by tests and transcript checks)."""

@@ -405,7 +405,8 @@ def _weighted_bucket_total(sums, group: GroupOps, seg, B: int):
 
 def _fused_msm_body(x, ycat, packed_digits, c: int, lanes: int, chunk: int,
                     use_pallas: bool, group: GroupOps | None = None,
-                    scan_fn=None, fast: bool = False, serial: bool = False):
+                    scan_fn=None, fast: bool = False, serial: bool = False,
+                    nbatch: int = 1):
     """Window loop of the fused engine. x: (L, N) affine x; ycat: (L, 2N)
     [y | -y]; packed_digits: (W, N). Returns (x, y, z) width-1 tuple, or
     ((x, y, z), exc) with ``fast=True`` — exc is a scalar int32 that is
@@ -422,13 +423,30 @@ def _fused_msm_body(x, ycat, packed_digits, c: int, lanes: int, chunk: int,
     mv = n // KV, and sits at positions (j, k), j = i*chunk + r.  With
     ``serial=True`` (small n) the chains are the K lanes themselves
     (chain k owns [k*m, (k+1)*m), m serial steps — an 8x narrower
-    cross-chain fixup, see msm_pallas.SERIAL_MAX_N)."""
+    cross-chain fixup, see msm_pallas.SERIAL_MAX_N).
+
+    ``nbatch > 1`` runs a MULTI-MSM: the flattened input holds nbatch
+    consecutive segments of n/nbatch elements each (same base points,
+    different scalars); element digits are offset into per-segment bucket
+    ranges [i*B, (i+1)*B) so ONE sort + ONE scan accumulate all batches,
+    the bucket-total suffix scans run SEGMENTED per batch, and the
+    accumulator is width-nbatch — amortizing every per-window fixed cost
+    (sort, cross-chain carries, doubling chain) across the batch.  This
+    is the puzzle prover's shape: B nonces' commit/witness MSMs over the
+    same SRS prefix (r4 verdict item 2)."""
     L, n = x.shape
     K = lanes
     m = n // K
     KV = K if serial else K * chunk
     mv = n // KV
     B = (1 << (c - 1)) + 1
+    B_total = nbatch * B
+    nper = n // nbatch
+    # per-element bucket-range offset: element e belongs to batch e//nper
+    batch_off = ((jnp.arange(n, dtype=jnp.int32) // nper) * B) if nbatch > 1 else None
+    # segment starts for the per-batch suffix scans (flag at b % B == 0)
+    seg_flags = (jnp.arange(B_total, dtype=jnp.int32) % B == 0
+                 ).astype(jnp.int32)[None] if nbatch > 1 else None
     if group is None:
         group = _g1_group(use_pallas)
         bucket_total = None
@@ -442,7 +460,7 @@ def _fused_msm_body(x, ycat, packed_digits, c: int, lanes: int, chunk: int,
         else:
             scan_fn = msm_pallas.bucket_scan_fast if fast else msm_pallas.bucket_scan
     seg = group.seg_combine or _default_seg_combine(group)
-    bucket_ids = jnp.arange(B, dtype=jnp.int32)
+    bucket_ids = jnp.arange(B_total, dtype=jnp.int32)
 
     # static index plumbing for the chain layout
     j_idx = jnp.arange(m, dtype=jnp.int32)[:, None]
@@ -454,14 +472,19 @@ def _fused_msm_body(x, ycat, packed_digits, c: int, lanes: int, chunk: int,
     src_flat = src_grid.reshape(-1)
 
     def plain_add_scan_reverse(vals):
+        # nbatch > 1: SEGMENTED per-batch scan (each batch's bucket range
+        # is a segment; reversal maps segment boundaries onto themselves)
         rev = tuple(t[..., ::-1] for t in vals)
-        flags = jnp.zeros((1, B), jnp.int32)
-        cur = _hillis_steele_prefix(seg, group, (flags,) + rev, B, len(vals))
+        flags = seg_flags if nbatch > 1 else jnp.zeros((1, B_total), jnp.int32)
+        cur = _hillis_steele_prefix(seg, group, (flags,) + rev, B_total,
+                                    len(vals))
         return tuple(t[..., ::-1] for t in cur[1:])
 
     def window_body(carry, packed):
         acc, exc_acc = carry
         bucket = packed & 0xFFFF
+        if nbatch > 1:
+            bucket = bucket + batch_off
         sign = packed >> 16
         keys, order = jax.lax.sort(
             (bucket, jnp.arange(n, dtype=jnp.int32)), num_keys=1
@@ -517,18 +540,23 @@ def _fused_msm_body(x, ycat, packed_digits, c: int, lanes: int, chunk: int,
         carry_at = tuple(jnp.take(t, chain_of, axis=-1) for t in carry_in)
         added = group.add(tails, carry_at)
         sums = group.select(needs_carry, added, tails)
-        sums = group.select(nonempty & (bucket_ids > 0), sums, group.identity(B))
+        live = nonempty & ((bucket_ids % B > 0) if nbatch > 1 else (bucket_ids > 0))
+        sums = group.select(live, sums, group.identity(B_total))
 
         # T_w = Sum_{b>=1} b * S_b.  The chunked-scan path does ~2B adds
         # vs the double Hillis-Steele's 2 B log B, but carries a fixed
         # ~2 log(KV)*KV-add cross-chain cost — a loss below B ~ 2^11.
-        if bucket_total is None and B >= (1 << 11):
+        if bucket_total is None and B >= (1 << 11) and nbatch == 1:
             t_w = _weighted_bucket_total(sums, group, seg, B)
         else:
-            # small-B / mock path: (suffix of suffix)[1] via Hillis-Steele
+            # small-B / mock / multi path: per-batch (suffix of suffix)[1]
             suffix = plain_add_scan_reverse(sums)
             suffix2 = plain_add_scan_reverse(suffix)
-            t_w = tuple(t[..., 1:2] for t in suffix2)
+            if nbatch > 1:
+                slots = jnp.arange(nbatch, dtype=jnp.int32) * B + 1
+                t_w = tuple(jnp.take(t, slots, axis=-1) for t in suffix2)
+            else:
+                t_w = tuple(t[..., 1:2] for t in suffix2)
 
         def dbl(_, a):
             return group.add(a, a)
@@ -537,7 +565,7 @@ def _fused_msm_body(x, ycat, packed_digits, c: int, lanes: int, chunk: int,
         acc = group.add(acc, t_w)
         return (acc, exc_acc), None
 
-    carry0 = (group.identity(1), jnp.int32(0))
+    carry0 = (group.identity(nbatch), jnp.int32(0))
     (acc, exc_total), _ = jax.lax.scan(window_body, carry0, packed_digits[::-1])
     if fast:
         return acc, exc_total
@@ -618,6 +646,75 @@ def msm_affine(x: jax.Array, y: jax.Array, scalar_limbs: jax.Array, c: int = 0,
         out, _ = _msm_affine_jit(x, y, scalar_limbs, c, lanes, chunk, use_pallas,
                                  False)
     return out
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def _msm_affine_multi_jit(x: jax.Array, y: jax.Array, scalar_limbs: jax.Array,
+                          c: int, lanes: int, chunk: int,
+                          use_pallas: bool | None):
+    """Jitted multi-MSM: x, y (L, N) shared affine base; scalar_limbs
+    (16, B, N) canonical Fr limbs. Returns width-B Jacobian coords."""
+    from snarkos_tpu.ops import modarith as fa
+    from snarkos_tpu.ops import msm_pallas
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    _, nb, npts = scalar_limbs.shape
+    if c == 0:
+        # per-batch size drives the scan/bucket trade-off, exactly as a
+        # single MSM of that size would choose
+        c = fused_window_bits(npts)
+    if lanes == 0:
+        lanes = min(msm_pallas.LANES, max(128, 1 << ((nb * npts).bit_length() // 2)))
+    tile = lanes * chunk
+    # per-batch padding: total size must tile; padding each batch to a
+    # tile multiple keeps every batch segment an identical copy of the
+    # padded base (point e%nper with scalar 0 in the pad tail)
+    nper = npts if (nb * npts) % tile == 0 else -(-npts // tile) * tile
+    reps = nper - npts
+    if reps:
+        x = jnp.concatenate([x, jnp.broadcast_to(x[:, :1], (x.shape[0], reps))], axis=-1)
+        y = jnp.concatenate([y, jnp.broadcast_to(y[:, :1], (y.shape[0], reps))], axis=-1)
+        scalar_limbs = jnp.concatenate(
+            [scalar_limbs,
+             jnp.zeros((scalar_limbs.shape[0], nb, reps), jnp.int32)], axis=-1)
+    n = nb * nper
+    x = jnp.tile(x, (1, nb))
+    yneg = fa.neg_impl(fa_FQ, y)
+    ycat = jnp.concatenate([jnp.tile(y, (1, nb)), jnp.tile(yneg, (1, nb))], axis=-1)
+    packed = signed_window_digits(scalar_limbs.reshape(scalar_limbs.shape[0], n), c)
+    serial = n <= msm_pallas.SERIAL_MAX_N
+    out = _fused_msm_body(x, ycat, packed, c, lanes, chunk, use_pallas,
+                          serial=serial, nbatch=nb)
+    return out
+
+
+def msm_affine_multi(x: jax.Array, y: jax.Array, scalar_limbs: jax.Array,
+                     c: int = 0, lanes: int = 0, chunk: int = 8,
+                     use_pallas: bool | None = None):
+    """Multi-MSM over a SHARED affine base (the puzzle prover's shape:
+    B nonces' commit/witness MSMs over the same SRS prefix — r4 verdict
+    item 2). ONE sort/scan/bucket pipeline accumulates every batch by
+    offsetting digits into per-batch bucket ranges, so the per-window
+    fixed costs (sort, cross-chain Hillis-Steele, the c-doubling Horner
+    chain) are paid once for the whole batch instead of once per MSM.
+
+    x, y: (L, N) affine Montgomery base; scalar_limbs: (16, B, N)
+    canonical Fr limbs. Returns a width-B JacobianPoints (result i =
+    MSM(scalars[:, i], base))."""
+    from snarkos_tpu.ops import g1 as g1ops
+
+    out = _msm_affine_multi_jit(x, y, scalar_limbs, c, lanes, chunk,
+                                use_pallas)
+    return g1ops.JacobianPoints(*out)
+
+
+def msm_multi(points, scalar_limbs: jax.Array, c: int = 0,
+              use_pallas: bool | None = None):
+    """Multi-MSM over a shared JacobianPoints base (must be affine,
+    z == 1 — SRS powers are). scalar_limbs: (16, B, N)."""
+    return msm_affine_multi(points.x, points.y, scalar_limbs, c=c,
+                            use_pallas=use_pallas)
 
 
 def msm(points, scalar_limbs: jax.Array, c: int = 0, use_pallas: bool | None = None,

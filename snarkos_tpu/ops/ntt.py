@@ -90,7 +90,11 @@ def geometric_powers(base: jax.Array, m: int) -> jax.Array:
     return jnp.moveaxis(blocks, 0, 1).reshape(FR.nlimbs, nblocks * B)[:, :m]
 
 
-@functools.lru_cache(maxsize=None)
+# The twiddle caches below hold CONCRETE device arrays; at n=2^22 a single
+# entry is O(n * nlimbs * 4B) ~ 100+ MB, so they are bounded (4 entries =
+# forward+inverse of two active sizes) instead of growing per size forever
+# (r4 advisory: unbounded lru_cache pinned hundreds of MB of HBM).
+@functools.lru_cache(maxsize=4)
 def _master_table(n: int, invert: bool) -> jax.Array:
     """(L, n/2) Montgomery table W[i] = omega^i (omega of order n, or its
     inverse). Host computes per-8-bit-digit power tables with bigints;
@@ -119,7 +123,7 @@ def _master_table(n: int, invert: bool) -> jax.Array:
         return out
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=4)
 def _master_table_base(n: int, omega: int, size: int) -> jax.Array:
     """(L, size) Montgomery table W[i] = omega^i for a caller-chosen root
     (the four-step path needs powers of omega_N up to N-1, and small-NTT
@@ -142,7 +146,7 @@ def _master_table_base(n: int, omega: int, size: int) -> jax.Array:
         return out
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=4)
 def _stage_twiddles(n: int, invert: bool) -> tuple:
     """Per-stage twiddle limb arrays: stage s (half-length m = 2^s) gets
     (L, 1, m) Montgomery twiddles w_len^j, w_len = omega^(n / 2m) — i.e.
@@ -224,7 +228,7 @@ def _ntt_axis1(a: jax.Array, perm: jax.Array, twiddles: tuple) -> jax.Array:
     return a
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=16)
 def _small_stage_twiddles(n: int, f: int, invert: bool) -> tuple:
     """Stage twiddles (each (L, m)) for the length-f column NTT inside the
     four-step factorization of n, built from omega_f = omega_n^(n/f)."""
@@ -239,7 +243,7 @@ def _small_stage_twiddles(n: int, f: int, invert: bool) -> tuple:
                      for s in range(log_f))
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=4)
 def _mid_twiddles(n: int, n1: int, invert: bool) -> jax.Array:
     """(L, n1, n2) tensor M[k1, j2] = omega_n^(k1*j2), cached per size."""
     n2 = n // n1

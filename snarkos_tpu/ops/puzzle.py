@@ -94,8 +94,30 @@ class PuzzleSRS:
     degree: int
     points: "g1ops.JacobianPoints"  # (L, degree+1)
     srs_ref: ref_kzg.SRS  # host copy for verification
+    # True when derived from the KNOWN dev tau; ledger trim-fallbacks
+    # refuse to mint fresh dev SRS when this is False (artifact mode)
+    is_dev: bool = True
 
     _cache: dict = None
+
+    @classmethod
+    def from_artifact(cls, path: str, digest: str | None = None,
+                      log_degree: int = DEFAULT_LOG_DEGREE) -> "PuzzleSRS":
+        """Load a ceremony powers-of-tau artifact (crypto/srs_artifact.py:
+        digest pinning + pairing consistency validation). The device gets
+        the first ``2^log_degree + 1`` powers; the FULL artifact stays on
+        ``srs_ref`` so Varuna/execution circuits can trim larger degrees
+        from the same ceremony."""
+        from snarkos_tpu.crypto import srs_artifact
+
+        srs_ref = srs_artifact.load_srs(path, digest)
+        degree = 1 << log_degree
+        if len(srs_ref.powers_g1) < degree + 1:
+            raise srs_artifact.SRSArtifactError(
+                f"SRS artifact holds {len(srs_ref.powers_g1)} powers; the "
+                f"puzzle needs {degree + 1}")
+        pts = g1ops.encode_points(srs_ref.powers_g1[: degree + 1])
+        return cls(degree=degree, points=pts, srs_ref=srs_ref, is_dev=False)
 
     @classmethod
     def dev(cls, log_degree: int = DEFAULT_LOG_DEGREE) -> "PuzzleSRS":
@@ -236,7 +258,16 @@ class Puzzle:
 
     def __init__(self, log_degree: int = DEFAULT_LOG_DEGREE):
         self.log_degree = log_degree
-        self.srs = PuzzleSRS.dev(log_degree)
+        srs_path = os.environ.get("SNARKOS_TPU_SRS_PATH")
+        if srs_path:
+            # production mode: ceremony artifact, digest-pinned + validated
+            # (crypto/srs_artifact.py; node/cli.py refuses to start outside
+            # --dev without this)
+            self.srs = PuzzleSRS.from_artifact(
+                srs_path, os.environ.get("SNARKOS_TPU_SRS_DIGEST") or None,
+                log_degree)
+        else:
+            self.srs = PuzzleSRS.dev(log_degree)
         self.k = 1 << log_degree
         self._programs: dict[bytes, EpochProgram] = {}
 
@@ -323,21 +354,39 @@ class Puzzle:
             self._leaves_device(seeds))
 
         pts = _slice_points(self.srs.points, k)
-        # STAGE-PARALLEL dispatch (r2 profile: the per-nonce loop spent
-        # ~85% of its time in host<->device sync barriers, 27 s for B=8 vs
-        # 4.6 s of actual stage work). JAX dispatch is async: queue ALL
-        # commit MSMs first, then pay ONE sync for the commitment fetches;
-        # compute the Fiat-Shamir challenges host-side; queue all opening
-        # evals+witness MSMs; one more sync for the witnesses.
-        commits = [msm_mod.msm(pts, fa.from_mont(FR, all_coeffs[:, i, :]))
-                   for i in range(len(nonces))]
-        c_bytes = [_g1_to_bytes(g1ops.decode_points(c)[0]) for c in commits]
+        # BATCHED MSM dispatch (r4 profile: B per-nonce 2^12 MSMs ran at
+        # ~14k points/s each — the per-window fixed costs, not the adds,
+        # dominate small MSMs). msm_multi folds all B commit MSMs into
+        # ONE sort/scan pipeline with per-batch bucket ranges, then the
+        # Fiat-Shamir challenges are computed host-side and the B
+        # witness MSMs fold the same way; two device syncs total.
+        # (TPU only: XLA:CPU compilation of the batched graph explodes —
+        # tens of GB — so off-chip the per-nonce stage-parallel loop of
+        # r4 stays; correctness of the multi engine is covered by the
+        # mock-group tests + the TPU script/bench runs.)
+        batched = jax.default_backend() in ("tpu", "axon") and len(nonces) > 1
+        if batched:
+            canon = fa.from_mont(FR, all_coeffs)  # (16, B, K)
+            commit_jacs = g1ops.decode_points(msm_mod.msm_multi(pts, canon))
+        else:
+            commit_jacs = [
+                g1ops.decode_points(
+                    msm_mod.msm(pts, fa.from_mont(FR, all_coeffs[:, i, :])))[0]
+                for i in range(len(nonces))]
+        c_bytes = [_g1_to_bytes(j) for j in commit_jacs]
         zs = [self._challenge(cb) for cb in c_bytes]
-        opens = [kzg_ops.open_at(pts, all_coeffs[:, i, :], z)
-                 for i, z in enumerate(zs)]
+        if batched:
+            ys, qs = kzg_ops.eval_and_quotient_multi(all_coeffs, zs)
+            wit_jacs = g1ops.decode_points(
+                msm_mod.msm_multi(pts, fa.from_mont(FR, qs)))
+        else:
+            opens = [kzg_ops.open_at(pts, all_coeffs[:, i, :], z)
+                     for i, z in enumerate(zs)]
+            ys = [y for y, _ in opens]
+            wit_jacs = [g1ops.decode_points(w)[0] for _, w in opens]
         out = []
-        for (y, witness_pt), cb in zip(opens, c_bytes):
-            w_bytes = _g1_to_bytes(g1ops.decode_points(witness_pt)[0])
+        for y, wj, cb in zip(ys, wit_jacs, c_bytes):
+            w_bytes = _g1_to_bytes(wj)
             solution_id = sha64(cb, y.to_bytes(32, "little"))
             if proof_target is not None and not self.passes_target(solution_id, proof_target):
                 continue

@@ -287,9 +287,16 @@ def multi_pairing(pairs):
     )
 
 
+# distinct sentinel for a genuine infinity result from g2_scalar_mul —
+# None is reserved for "engine missing / malformed input" (which callers
+# answer with the slow Python fallback; a real infinity must NOT take it)
+G2_INF = object()
+
+
 def g2_scalar_mul(k: int, q):
-    """k * Q on the G2 twist; affine in/out (None = infinity). Returns the
-    affine pair or None if the engine is missing / input malformed."""
+    """k * Q on the G2 twist; affine in/out. Returns the affine pair,
+    ``G2_INF`` when the result is the point at infinity, or None if the
+    engine is missing / input malformed."""
     lib = _load_pairing()
     if lib is None:
         return None
@@ -299,8 +306,7 @@ def g2_scalar_mul(k: int, q):
         return None
     raw = out.raw
     if not any(raw):
-        return None  # infinity — callers treat None result as engine-missing,
-        # so infinity is returned as the Python-convention None via sentinel
+        return G2_INF
     return (
         (int.from_bytes(raw[0:48], "little"), int.from_bytes(raw[48:96], "little")),
         (int.from_bytes(raw[96:144], "little"), int.from_bytes(raw[144:192], "little")),

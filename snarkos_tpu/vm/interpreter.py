@@ -261,7 +261,7 @@ def _run_closure(cl: Closure, args, ctx: ExecContext):
     _bind_inputs(frame, cl.inputs, args, f"closure {cl.name}")
     for ins in cl.instructions:
         _run_instruction(ins, frame, ctx)
-    return [_operand(frame, ctx, tok) for tok, _ in cl.outputs]
+    return [_operand(frame, ctx, tok) for tok, *_ in cl.outputs]
 
 
 def execute_function(program: Program, fn_name: str, args, ctx: ExecContext
@@ -274,8 +274,8 @@ def execute_function(program: Program, fn_name: str, args, ctx: ExecContext
     for ins in fn.instructions:
         _run_instruction(ins, frame, ctx)
     outputs = []
-    for tok, ty in fn.outputs:
-        if ty.endswith("future") or "/" in ty:
+    for tok, ty, *vis in fn.outputs:
+        if (vis and vis[0] == "future") or ty.endswith("future") or "/" in ty:
             continue  # the future output is represented by FinalizeCall
         outputs.append(_operand(frame, ctx, tok))
     fin = None
@@ -316,10 +316,21 @@ def record_plaintext(v: Value) -> bytes:
 def record_serial(program_id: str, record_name: str, v: Value) -> bytes:
     """Deterministic spend tag: consuming the same record plaintext twice
     is detectable ledger-side (the capability analogue of snarkVM serial
-    numbers; derivation-in-circuit requires the proof layer)."""
-    return hashlib.sha256(
-        b"snarkos_tpu.record.serial\x00" + program_id.encode() + b"/"
-        + record_name.encode() + b"\x00" + record_plaintext(v)).digest()
+    numbers). Poseidon over [rid, member fields] — EXACTLY the relation
+    vm/circuit.py enforces on record-input witness wires, so execution
+    proofs derive the same serial in-circuit without revealing the
+    plaintext (r4 verdict #5). Records with members outside the circuit
+    encoding fall back to the legacy sha256 tag (such records are only
+    reachable through the public re-execution path anyway)."""
+    from snarkos_tpu.vm import circuit as vmc
+
+    try:
+        f = vmc.record_serial_field(program_id, record_name, v)
+        return f.to_bytes(32, "little")
+    except vmc.SynthesisUnsupported:
+        return hashlib.sha256(
+            b"snarkos_tpu.record.serial\x00" + program_id.encode() + b"/"
+            + record_name.encode() + b"\x00" + record_plaintext(v)).digest()
 
 
 def seal_record(program_id: str, record_name: str, v: Value) -> bytes:

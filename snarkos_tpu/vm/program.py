@@ -332,7 +332,10 @@ def parse_program(source: str) -> Program:
                     line)
                 if not m or kind not in ("function", "closure"):
                     raise ParseError(f"bad output: {line!r}")
-                ctx.outputs.append((m.group(1), m.group(2)))
+                # keep the declared visibility (default private — Aleo
+                # semantics; the circuit layer hides .private outputs)
+                ctx.outputs.append(
+                    (m.group(1), m.group(2), m.group(4) or "private"))
             elif line.startswith("async "):
                 if kind != "function":
                     raise ParseError("async outside function")

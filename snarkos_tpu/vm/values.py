@@ -85,6 +85,16 @@ def parse_literal(tok: str) -> Value:
     if tok == "false":
         return Value("boolean", False)
     if tok.startswith("aleo1"):
+        # framework address form: aleo1 + 64 hex chars (a 32-byte compressed
+        # encoding). Reject malformed forms HERE so both the prove and the
+        # verify side fail identically at parse time (r4 verdict #1).
+        hexpart = tok[5:]
+        if len(hexpart) != 64:
+            raise HaltError(f"malformed address {tok!r}")
+        try:
+            bytes.fromhex(hexpart)
+        except ValueError as exc:
+            raise HaltError(f"malformed address {tok!r}") from exc
         return Value("address", tok)
     for ty in ("field", "scalar", "group"):
         if tok.endswith(ty):

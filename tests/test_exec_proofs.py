@@ -63,8 +63,8 @@ class TestSynthesis:
         ctx = avm.ExecContext(program=prog, caller="", block_height=0,
                               tx_seed=b"t")
         res = avm.execute_function(prog, "mix", ARGS, ctx)
-        # output slot comes after [1, fid, caller] + 3 inputs
-        assert publics[6] == res.outputs[0].val
+        # output slot comes after [1, fid, caller, C_in] + 3 inputs
+        assert publics[7] == res.outputs[0].val
 
     def test_prove_verify_and_tamper(self, math_setup):
         prog, circ, srs = math_setup
@@ -90,19 +90,18 @@ function boom:
             C.trace_execution(prog, "boom", [V.Value("u64", 2**63 + 5)], 0)
 
     def test_unsupported_falls_out(self, math_prog):
-        src = """program recy.aleo;
+        # group arithmetic is outside the provable subset (records ARE
+        # provable since r5 — vm/circuit.py record support)
+        src = """program grpy.aleo;
 
-record tok:
-    owner as address.private;
-    amt as u64.private;
-
-function spend:
-    input r0 as tok.record;
-    output r0 as tok.record;
+function gmul:
+    input r0 as group.public;
+    double r0 into r1;
+    output r1 as group.public;
 """
         prog = avm.parse_program(src)
         with pytest.raises(C.SynthesisUnsupported):
-            C.compile_function(prog, "spend")
+            C.compile_function(prog, "gmul")
 
 
 class TestTransactionIntegration:
@@ -123,7 +122,7 @@ class TestTransactionIntegration:
 
     def test_tampered_claimed_output_rejected(self, transfer_tx, programs):
         outs = transfer_tx.exec_outs.decode().split()
-        outs[-1] = "6u64"
+        outs[outs.index("5u64")] = "6u64"  # the claimed finalize amount
         bad = dataclasses.replace(transfer_tx,
                                   exec_outs=" ".join(outs).encode())
         assert not L.verify_transaction(bad, programs)
@@ -162,3 +161,117 @@ class TestTransactionIntegration:
         toks[0] = toks[0].split(":")[0] + ":" + "00" * 32
         forged = dataclasses.replace(dep, exec_outs=" ".join(toks).encode())
         assert not L.verify_transaction(forged, programs)
+
+
+class TestAddressBinding:
+    """r4 verdict weak #1 + r4 advisory (medium): addresses bind by a
+    Poseidon hash of the FULL compressed encoding — no decompression (a
+    burn address proves fine) and both coordinates bound (the on-curve
+    twin with y negated cannot be substituted)."""
+
+    def test_burn_address_execute_proves_and_verifies(self):
+        # the devnet payee: well-formed hex, NOT a canonical curve point
+        acct = edwards.Account.new(seed=b"y" * 32)
+        payee = "aleo1" + "c" * 64
+        payload = (f"execute credits.aleo/transfer_public "
+                   f"{payee} 5u64").encode()
+        tx = L.create_transaction(payload, fee=1, account=acct)
+        assert tx.exec_proof
+        assert L.verify_transaction(tx, {"credits.aleo": L.credits_program()})
+
+    def test_malformed_address_rejected_at_parse(self):
+        with pytest.raises(V.HaltError):
+            V.parse_literal("aleo1abc")  # wrong length
+        with pytest.raises(V.HaltError):
+            V.parse_literal("aleo1" + "zx" * 32)  # not hex
+
+    def test_twin_address_rebind_rejected(self):
+        acct = edwards.Account.new(seed=b"z" * 32)
+        recip = edwards.Account.new(seed=b"w" * 32)
+        addr = point_to_address(recip.pk)
+        payload = (f"execute credits.aleo/transfer_public "
+                   f"{addr} 5u64").encode()
+        tx = L.create_transaction(payload, fee=1, account=acct)
+        programs = {"credits.aleo": L.credits_program()}
+        assert L.verify_transaction(tx, programs)
+        # the twin encoding: y -> p - y, same x-sign bit. It decodes to
+        # the SAME x-coordinate, so an x-only binding accepts it.
+        enc = int.from_bytes(bytes.fromhex(addr[5:]), "little")
+        sign, y = enc >> 255, enc & ((1 << 255) - 1)
+        twin_enc = ((R - y) | (sign << 255)).to_bytes(32, "little")
+        twin = "aleo1" + twin_enc.hex()
+        assert edwards.decompress(twin_enc)[0] == recip.pk[0]  # attack premise
+        outs = tx.exec_outs.decode().split()
+        assert addr in outs
+        outs[outs.index(addr)] = twin
+        rebound = dataclasses.replace(tx, exec_outs=" ".join(outs).encode())
+        assert not L.verify_transaction(rebound, programs)
+
+    def test_statement_encoding_binds_full_encoding(self):
+        a = V.Value("address", "aleo1" + "c" * 64)
+        b = V.Value("address", "aleo1" + "c" * 62 + "cd")
+        assert C.value_to_public_field(a) != C.value_to_public_field(b)
+        zero = V.Value("address", L.ZERO_ADDRESS)
+        assert C.value_to_public_field(zero) == 0
+
+
+SAMEBLK_SRC = """program sameblk.aleo;
+
+mapping tally:
+    key as u64.public;
+    value as u64.public;
+
+function bump:
+    input r0 as u64.public;
+    async bump r0 into r1;
+    output r1 as sameblk.aleo/bump.future;
+
+finalize bump:
+    input r0 as u64.public;
+    get.or_use tally[r0] 0u64 into r1;
+    add r1 1u64 into r2;
+    set r2 into tally[r0];
+"""
+
+
+class TestSameBlockDeployExecute:
+    """r4 advisory (high): an execute of a program deployed EARLIER IN THE
+    SAME BLOCK must have its execution proof verified at check_next_block
+    (overlay registry), or garbage exec_outs would drive finalize at
+    commit through the SNARK fast path unverified."""
+
+    def _next_block(self, ledger, tms):
+        from snarkos_tpu.node import types
+        prev = ledger.latest_block
+        return types.Block(
+            height=prev.height + 1, previous_hash=prev.hash,
+            timestamp=prev.timestamp + 1, round=2,
+            epoch_hash=ledger._next_epoch_hash(prev.height + 1),
+            proof_target=prev.proof_target, subdag=None,
+            transmissions=tuple(types.Transmission.from_transaction(t)
+                                for t in tms))
+
+    def test_forged_same_block_execute_rejected(self):
+        from snarkos_tpu.node.cli import dev_committee
+        ledger = L.Ledger(dev_committee(2))
+        deploy = L.create_transaction(SAMEBLK_SRC.encode(), is_deploy=True)
+        good = L.create_transaction(b"execute sameblk.aleo/bump 7u64",
+                                    program=SAMEBLK_SRC)
+        assert good.exec_proof
+        forged = dataclasses.replace(good, exec_outs=b"9u64")
+        with pytest.raises(ValueError):
+            ledger.check_next_block(self._next_block(ledger, [deploy, forged]))
+        garbage = dataclasses.replace(good, exec_proof=b"\x01" * 64)
+        with pytest.raises(ValueError):
+            ledger.check_next_block(self._next_block(ledger, [deploy, garbage]))
+
+    def test_valid_same_block_execute_commits(self):
+        from snarkos_tpu.node.cli import dev_committee
+        ledger = L.Ledger(dev_committee(2))
+        deploy = L.create_transaction(SAMEBLK_SRC.encode(), is_deploy=True)
+        good = L.create_transaction(b"execute sameblk.aleo/bump 7u64",
+                                    program=SAMEBLK_SRC)
+        block = self._next_block(ledger, [deploy, good])
+        ledger.check_next_block(block)
+        ledger.advance_to_next_block(block)
+        assert ledger.mappings[("sameblk.aleo", "tally")]["7u64"] == "1u64"

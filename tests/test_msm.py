@@ -246,3 +246,73 @@ def test_msm_affine_exception_fallback():
     got = g1ops.decode_points(out)[0]
     expect = ref.msm(scalars, pts_ref)
     assert ref.affine(got) == ref.affine(expect)
+
+
+@pytest.mark.parametrize("serial", [False, True])
+@pytest.mark.parametrize("nbatch,c,nper,lanes,chunk",
+                         [(2, 4, 16, 4, 2), (3, 6, 64, 8, 4),
+                          (4, 4, 20, 4, 2)])
+def test_fused_engine_multi_mock_group(nbatch, c, nper, lanes, chunk, serial):
+    """nbatch > 1 multi-MSM (shared base, per-batch bucket ranges): each
+    batch's y-component total matches its own scalar set (r5: the puzzle
+    prover's batched commit/witness MSM shape)."""
+    tile = lanes * chunk
+    nper_pad = nper if (nbatch * nper) % tile == 0 else -(-nper // tile) * tile
+    scalars = [[RNG.randrange(params.FR_MODULUS) for _ in range(nper)]
+               for _ in range(nbatch)]
+    scalars[0][0] = 0
+    xs = [RNG.randrange(1, MOCK_MOD) for _ in range(nper)]
+    ys = [RNG.randrange(1, MOCK_MOD) for _ in range(nper)]
+    xs_p = xs + [xs[0]] * (nper_pad - nper)
+    ys_p = ys + [ys[0]] * (nper_pad - nper)
+    n = nbatch * nper_pad
+    x_arr = jnp.array(xs_p * nbatch, jnp.int32).reshape(1, n)
+    y_tiled = ys_p * nbatch
+    ycat = jnp.array(y_tiled + [(MOCK_MOD - y) % MOCK_MOD for y in y_tiled],
+                     jnp.int32).reshape(1, 2 * n)
+    sc_flat = []
+    for s in scalars:
+        sc_flat += s + [0] * (nper_pad - nper)
+    limbs = jnp.array(FR.encode(sc_flat, mont=False))
+    packed = msm_mod.signed_window_digits(limbs, c)
+    out = msm_mod._fused_msm_body(
+        x_arr, ycat, packed, c, lanes, chunk, use_pallas=False,
+        group=_mock3_group(),
+        scan_fn=_mock3_scan_serial if serial else _mock3_scan, serial=serial,
+        nbatch=nbatch)
+    got = np.asarray(out[1])[0]
+    for i in range(nbatch):
+        expect = sum(k * y for k, y in zip(scalars[i], ys)) % MOCK_MOD
+        assert int(got[i]) == expect, f"batch {i}"
+
+
+def test_weighted_bucket_total_mock(monkeypatch):
+    """r4 advisory (low): the chunked-scan bucket-total path (production
+    only, B >= 2^11) exercised on CPU — inject a mock jadd_scan so the
+    virtual-chain src/inv permutation and carry plumbing are covered."""
+    from snarkos_tpu.ops import msm_pallas
+
+    def mock_jadd_scan(xs, ys, zs, lanes, chunk):
+        L, m, K = xs.shape
+        mv = m // chunk
+        outs = []
+        for v in (xs, ys, zs):
+            vv = v.reshape(L, mv, chunk, K).astype(jnp.int64)
+            carry = jnp.zeros((L, chunk, K), jnp.int64)
+            rows = []
+            for i in range(mv):
+                carry = (carry + vv[:, i]) % MOCK_MOD
+                rows.append(carry)
+            outs.append(jnp.stack(rows, axis=1).reshape(L, m, K).astype(jnp.int32))
+        return tuple(outs)
+
+    monkeypatch.setattr(msm_pallas, "jadd_scan", mock_jadd_scan)
+    group = _mock3_group()
+    seg = msm_mod._default_seg_combine(group)
+    B = (1 << 11) + 1  # production threshold shape
+    comps = [[RNG.randrange(MOCK_MOD) for _ in range(B)] for _ in range(3)]
+    sums = tuple(jnp.array(c, jnp.int32).reshape(1, B) for c in comps)
+    total = msm_mod._weighted_bucket_total(sums, group, seg, B)
+    for i in range(3):
+        expect = sum(b * v for b, v in enumerate(comps[i]) if b >= 1) % MOCK_MOD
+        assert int(np.asarray(total[i])[0, 0]) == expect, f"component {i}"

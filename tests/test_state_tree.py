@@ -167,3 +167,63 @@ class TestRestRoutes:
         assert code == 200 and st.verify_mapping_path(mproof)
         code, _ = get(["stateRoot", "99"])
         assert code == 404
+
+
+class TestHistoricalStatePaths:
+    """r4 verdict #9: statePath served against any historical root, not
+    only the latest (routes.rs:252-269 — light clients verify against the
+    root they trust)."""
+
+    def test_transmission_path_at_height(self, chain):
+        tid = chain.get_block(2).transmissions[0].id.digest
+        for h in (2, 3, chain.latest_height):
+            proof = chain.state_path_for_transmission(tid, at_height=h)
+            assert proof is not None
+            assert proof["state_root"] == chain.state_root_at(h).hex()
+            assert st.verify_transmission_path(proof)
+        # the transmission is not in state before its block
+        assert chain.state_path_for_transmission(tid, at_height=1) is None
+        assert chain.state_path_for_transmission(tid, at_height=999) is None
+
+    def test_mapping_path_at_height(self, chain):
+        # addr1 was set at height 2; at height 3 the snapshot differs
+        # (addr2 added), so paths bind to DIFFERENT roots
+        p3 = chain.state_path_for_mapping("credits.aleo", "account",
+                                          "addr1", at_height=3)
+        p_latest = chain.state_path_for_mapping("credits.aleo", "account",
+                                                "addr1")
+        assert p3 is not None and p_latest is not None
+        assert p3["state_root"] == chain.state_root_at(3).hex()
+        assert p3["state_root"] != p_latest["state_root"]
+        assert st.verify_mapping_path(p3)
+        assert st.verify_mapping_path(p_latest)
+        assert chain.state_path_for_mapping(
+            "credits.aleo", "account", "addr3", at_height=2) is None
+
+    def test_rest_state_path_height_suffix(self, chain):
+        import asyncio
+
+        from snarkos_tpu.node.cli import dev_account
+        from snarkos_tpu.node.rest import Rest
+        from snarkos_tpu.node.types import point_to_address
+
+        class _Acct:
+            address = point_to_address(dev_account(0).pk)
+
+        class _Node:
+            ledger = chain
+            account = _Acct()
+
+        rest = Rest(_Node(), port=0)
+        get = lambda parts: asyncio.run(rest._route_get(parts, {}, chain, {}))
+        tid = chain.get_block(2).transmissions[0].id.digest
+        code, proof = get(["statePath", tid.hex(), "3"])
+        assert code == 200
+        assert proof["state_root"] == chain.state_root_at(3).hex()
+        assert st.verify_transmission_path(proof)
+        code, _ = get(["statePath", tid.hex(), "1"])
+        assert code == 404
+        code, mproof = get(["statePath", "mapping", "credits.aleo",
+                            "account", "addr1", "3"])
+        assert code == 200 and st.verify_mapping_path(mproof)
+        assert mproof["state_root"] == chain.state_root_at(3).hex()
