@@ -29,6 +29,17 @@ def dev_account(index: int) -> edwards.Account:
     return edwards.Account.new(seed=seed)
 
 
+def _record_blob(tok: str) -> bytes:
+    """Accept both record-ciphertext encodings: ``record1<hex-body>``
+    (printable form) and plain hex of the full blob (REST /records/{h})."""
+    if tok.startswith("record1"):
+        return b"record1" + bytes.fromhex(tok[len("record1"):])
+    raw = bytes.fromhex(tok)
+    if not raw.startswith(b"record1"):
+        raise ValueError("not a record ciphertext")
+    return raw
+
+
 def dev_committee(num_validators: int) -> Committee:
     members = {
         point_to_address(dev_account(i).pk): 100 for i in range(num_validators)
@@ -302,6 +313,30 @@ def main(argv=None):
     p_exec.add_argument("--fee", type=int, default=0)
     p_exec.add_argument("--broadcast", default=None,
                         help="REST base url, e.g. http://127.0.0.1:3030/testnet")
+    p_exec.add_argument("--private-inputs", default="",
+                        help="space-separated typed literals for .private "
+                             "inputs (consumed in declaration order; the "
+                             "payload carries '-' placeholders + a hiding "
+                             "commitment instead of the values)")
+    p_exec.add_argument("--records", default="",
+                        help="space-separated record ciphertexts (hex) for "
+                             "record inputs, decrypted with --seed; the "
+                             "payload carries only their serials")
+    p_exec.add_argument("--program-source", default=None,
+                        help="path to the program source (needed for "
+                             "private/record inputs of non-credits programs; "
+                             "fetched from --broadcast endpoint otherwise)")
+    p_tp = dev_sub.add_parser(
+        "transfer-private",
+        help="spend a private credits record (reference: developer "
+             "transfer_private, cli/src/commands/developer/mod.rs:58-77)")
+    p_tp.add_argument("--seed", required=True, help="owner account seed")
+    p_tp.add_argument("--record", required=True,
+                      help="credits record ciphertext (hex, record1-prefixed)")
+    p_tp.add_argument("--recipient", required=True)
+    p_tp.add_argument("--amount", type=int, required=True)
+    p_tp.add_argument("--fee", type=int, default=0)
+    p_tp.add_argument("--broadcast", default=None)
     p_deploy = dev_sub.add_parser("deploy", help="create + broadcast a deployment")
     p_deploy.add_argument("--payload", required=True,
                           help="program source (with --program-id) or raw payload")
@@ -317,7 +352,9 @@ def main(argv=None):
     p_scan.add_argument("--seed", default=None,
                         help="view-key seed: also decrypt owned private records")
     p_xfer = dev_sub.add_parser(
-        "transfer-private", help="create a tx whose payload only the recipient can read")
+        "seal-payload", help="create a tx whose payload only the recipient "
+                             "can read (legacy pre-record form; for private "
+                             "credits transfers use transfer-private)")
     p_xfer.add_argument("--recipient", required=True, help="recipient address")
     p_xfer.add_argument("--payload", required=True)
     p_xfer.add_argument("--fee", type=int, default=0)
@@ -398,6 +435,8 @@ def main(argv=None):
             if args.dev_command == "execute" and getattr(args, "seed", None):
                 account = edwards.Account.new(
                     seed=hashlib.sha256(args.seed.encode()).digest())
+            private_args = None
+            program_obj = None
             if args.dev_command == "execute" and getattr(args, "program", None):
                 if not args.function:
                     print("--function is required with --program")
@@ -407,7 +446,71 @@ def main(argv=None):
                     print("warning: --caller without --seed produces an "
                           "unsigned caller; the execution will abort on-chain")
                     parts.append(f"caller:{args.caller}")
-                if args.inputs:
+                want_priv = bool(args.private_inputs or args.records)
+                if want_priv:
+                    # private/record inputs: resolve the program, build the
+                    # '-'/serial tokens, and keep the values OFF the wire
+                    from snarkos_tpu import vm as avm
+                    from snarkos_tpu.node import ledger as _L
+                    from snarkos_tpu.vm import values as _V
+
+                    source = None
+                    if args.program == "credits.aleo":
+                        program_obj = _L.credits_program()
+                    elif args.program_source:
+                        source = open(args.program_source).read()
+                    elif args.broadcast:
+                        with urllib.request.urlopen(
+                                f"{args.broadcast.rstrip('/')}/program/"
+                                f"{args.program}", timeout=30) as r:
+                            source = _json.loads(r.read().decode())
+                    else:
+                        print("--program-source or --broadcast is required "
+                              "to resolve private inputs")
+                        return 1
+                    if program_obj is None:
+                        program_obj = avm.parse_program(source)
+                    fn = program_obj.functions.get(args.function)
+                    if fn is None:
+                        print(f"unknown function {args.function!r}")
+                        return 1
+                    pubs = args.inputs.split() if args.inputs else []
+                    privs = (args.private_inputs.split()
+                             if args.private_inputs else [])
+                    rec_cts = args.records.split() if args.records else []
+                    private_args, toks = [], []
+                    for _reg, ty, vis in fn.inputs:
+                        if ty in program_obj.records:
+                            if not rec_cts:
+                                print("not enough --records for the record "
+                                      "inputs")
+                                return 1
+                            if account is None:
+                                print("--seed is required to decrypt records")
+                                return 1
+                            name, rec = avm.open_record(
+                                account.sk, _record_blob(rec_cts.pop(0)),
+                                program_obj)
+                            serial = avm.record_serial(program_obj.id, name,
+                                                       rec)
+                            toks.append(f"serial:{serial.hex()}")
+                            private_args.append(rec)
+                        elif vis == "public":
+                            if not pubs:
+                                print("not enough --inputs for the public "
+                                      "inputs")
+                                return 1
+                            toks.append(pubs.pop(0))
+                            private_args.append(None)
+                        else:
+                            if not privs:
+                                print("not enough --private-inputs")
+                                return 1
+                            toks.append("-")
+                            private_args.append(
+                                _V.parse_typed(privs.pop(0), ty))
+                    parts += toks
+                elif args.inputs:
                     parts.append(args.inputs)
                 payload = " ".join(parts).encode()
             elif args.payload is not None:
@@ -419,7 +522,8 @@ def main(argv=None):
                 payload = f"program {args.program_id}\n".encode() + payload
             tx = create_transaction(payload, fee=args.fee,
                                     is_deploy=args.dev_command == "deploy",
-                                    account=account)
+                                    account=account, program=program_obj,
+                                    private_args=private_args)
             print(f"transaction id: {tx.id.digest.hex()}")
             if args.broadcast:
                 req = urllib.request.Request(
@@ -478,7 +582,7 @@ def main(argv=None):
                     print(f"{h}: <unavailable: {exc}>")
                     break
             return 0
-        if args.dev_command == "transfer-private":
+        if args.dev_command == "seal-payload":
             from snarkos_tpu.crypto.ref import records
             from snarkos_tpu.node.ledger import create_transaction
             from snarkos_tpu.node.types import address_to_point
@@ -498,12 +602,55 @@ def main(argv=None):
             else:
                 print(tx.to_bytes().hex())
             return 0
+        if args.dev_command == "transfer-private":
+            # the reference's developer transfer_private: spend a private
+            # credits record — the amount and recipient travel as witness
+            # data behind commitments, the payload carries only the serial
+            from snarkos_tpu import vm as avm
+            from snarkos_tpu.crypto.ref import records
+            from snarkos_tpu.node import ledger as _L
+            from snarkos_tpu.node.ledger import (create_transaction,
+                                                 sign_execute_payload)
+            from snarkos_tpu.vm import values as _V
+
+            account = edwards.Account.new(
+                seed=hashlib.sha256(args.seed.encode()).digest())
+            prog = _L.credits_program()
+            try:
+                name, rec = avm.open_record(account.sk,
+                                            _record_blob(args.record), prog)
+            except ValueError as exc:
+                print(f"cannot decrypt record: {exc}", file=sys.stderr)
+                return 1
+            if name != "credits":
+                print(f"not a credits record: {name}", file=sys.stderr)
+                return 1
+            serial = avm.record_serial("credits.aleo", "credits", rec)
+            payload = (f"execute credits.aleo/transfer_private "
+                       f"serial:{serial.hex()} - -").encode()
+            payload = sign_execute_payload(payload, args.fee, account)
+            tx = create_transaction(
+                payload, fee=args.fee, program=prog,
+                private_args=[rec, _V.parse_literal(args.recipient),
+                              _V.Value("u64", args.amount)])
+            print(f"transaction id: {tx.id.digest.hex()}")
+            if args.broadcast:
+                req = urllib.request.Request(
+                    f"{args.broadcast.rstrip('/')}/transaction/broadcast",
+                    data=_json.dumps(tx.to_bytes().hex()).encode(),
+                    headers={"Content-Type": "application/json"}, method="POST",
+                )
+                with urllib.request.urlopen(req, timeout=30) as r:
+                    print("broadcast:", r.read().decode())
+            else:
+                print(tx.to_bytes().hex())
+            return 0
         if args.dev_command == "decrypt":
             from snarkos_tpu.crypto.ref import records
 
             sk = edwards.Account.new(
                 seed=hashlib.sha256(args.seed.encode()).digest()).sk
-            raw = bytes.fromhex(args.record.removeprefix("record1"))
+            raw = _record_blob(args.record)[len(b"record1"):]
             try:
                 print(records.decrypt(sk, raw).decode(errors="replace"))
                 return 0

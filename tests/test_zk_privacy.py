@@ -181,3 +181,26 @@ class TestOverdraft:
                 payload, fee=1, key=780, program=prog,
                 private_args=[rec, V.parse_literal(B_ADDR),
                               V.Value("u64", 11)])
+
+
+@pytest.mark.slow
+class TestCLI:
+    def test_cli_transfer_private(self, capsys):
+        """developer transfer-private: decrypt -> prove -> emit tx whose
+        wire form hides amount and recipient."""
+        import hashlib
+
+        from snarkos_tpu.node import cli
+
+        seed = "cli-zk-test"
+        acct = edwards.Account.new(seed=hashlib.sha256(seed.encode()).digest())
+        addr = point_to_address(acct.pk)
+        rec = _record(addr, 5000)
+        ct = avm.seal_record("credits.aleo", "credits", rec)
+        rc = cli.main(["developer", "transfer-private", "--seed", seed,
+                       "--record", ct.hex(), "--recipient", B_ADDR,
+                       "--amount", "7"])
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "transaction id:" in out
+        assert B_ADDR not in out.split("transaction id:")[0]
