@@ -20,6 +20,7 @@ fill the remaining indices.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 
 from snarkos_tpu.crypto import params
@@ -128,11 +129,12 @@ def _sbox17(cs: R1CS, x: LinComb, z: list | None) -> LinComb:
     return {out: 1}
 
 
-def _poseidon_circuit(cs: R1CS, state: list[LinComb], z: list | None) -> list[LinComb]:
-    """One rate-2 Poseidon permutation over symbolic affine state
-    (mirrors poseidon.permute bit for bit)."""
-    ark, mds = poseidon.poseidon_params(2)
-    t = 3
+def _poseidon_circuit(cs: R1CS, state: list[LinComb], z: list | None,
+                      rate: int = 2) -> list[LinComb]:
+    """One Poseidon permutation (state width rate+1) over symbolic affine
+    state (mirrors poseidon.permute bit for bit)."""
+    ark, mds = poseidon.poseidon_params(rate)
+    t = rate + 1
     half = poseidon.FULL_ROUNDS // 2
     s = list(state)
     for rnd in range(poseidon.FULL_ROUNDS + poseidon.PARTIAL_ROUNDS):
@@ -143,8 +145,8 @@ def _poseidon_circuit(cs: R1CS, state: list[LinComb], z: list | None) -> list[Li
         else:
             s[0] = _sbox17(cs, s[0], z)
         s = [
-            _lc_add(_lc_add(_lc_scale(s[0], mds[i][0]), _lc_scale(s[1], mds[i][1])),
-                    _lc_scale(s[2], mds[i][2]))
+            functools.reduce(_lc_add, (_lc_scale(s[j], mds[i][j])
+                                       for j in range(t)))
             for i in range(t)
         ]
     return s

@@ -975,6 +975,30 @@ def _n_record_outputs(program, fn_name: str) -> int:
                and spec[1].split(".")[0] in program.records)
 
 
+def _parse_payload_value(program, tok: str, ty: str):
+    """Parse a payload/exec_outs token against a declared type.  Structs
+    travel as ``plain:<hex-of-plaintext>`` (their printable form contains
+    whitespace, which the token format cannot carry)."""
+    from snarkos_tpu import vm as avm
+
+    if ty in program.structs:
+        if not tok.startswith("plain:"):
+            raise avm.HaltError(f"struct value must be plain:<hex>, got {tok[:20]!r}")
+        text = bytes.fromhex(tok[len("plain:"):]).decode()
+        members = avm.parse_plaintext(text, program.structs[ty].members)
+        return avm.Value(ty, members)
+    return avm.parse_typed(tok, ty)
+
+
+def _format_payload_value(program, v) -> str:
+    """Inverse of _parse_payload_value."""
+    from snarkos_tpu import vm as avm
+
+    if v.ty in program.structs:
+        return "plain:" + avm.format_value(v).encode().hex()
+    return avm.format_value(v)
+
+
 def _parse_exec_outs(program, fn_name: str, exec_outs: bytes):
     """Claimed outputs -> dict with keys c_in, values (list[vm Value] —
     finalize args then public outputs), rec_comms, c_privout, rec_cts;
@@ -997,7 +1021,8 @@ def _parse_exec_outs(program, fn_name: str, exec_outs: bytes):
         toks = toks[1:]
         if len(toks) < len(tys):
             return None
-        values = [avm.parse_typed(t, ty) for t, ty in zip(toks, tys)]
+        values = [_parse_payload_value(program, t, ty)
+                  for t, ty in zip(toks, tys)]
         toks = toks[len(tys):]
         rec_comms = []
         for _ in range(n_rec):
@@ -1071,8 +1096,8 @@ def execution_openings(tx: Transaction, programs: dict):
                     return None
                 serials.append(sf)
             elif vis == "public":
-                input_fields.append(
-                    vmc.value_to_public_field(avm.parse_typed(t, ty)))
+                input_fields.extend(vmc.value_leaf_fields(
+                    _parse_payload_value(program, t, ty)))
             else:
                 if t != "-":
                     return None
@@ -1083,7 +1108,9 @@ def execution_openings(tx: Transaction, programs: dict):
     if parsed is None:
         return None
     try:
-        output_fields = [vmc.value_to_public_field(v) for v in parsed["values"]]
+        output_fields = []
+        for v in parsed["values"]:
+            output_fields.extend(vmc.value_leaf_fields(v))
     except vmc.SynthesisUnsupported:
         return None
     publics = vmc.build_publics(circ, caller_field, input_fields,
@@ -1220,7 +1247,7 @@ def prove_execution(payload: bytes, fee: int, key: int, program,
                 raise avm.HaltError("payload serial does not match the record")
             args.append(v)
         elif vis == "public":
-            args.append(avm.parse_typed(t, ty))
+            args.append(_parse_payload_value(program, t, ty))
         else:
             v = private_args[i] if private_args else None
             if t != "-" or v is None:
@@ -1240,7 +1267,8 @@ def prove_execution(payload: bytes, fee: int, key: int, program,
     stmt = vmc.statement_parts(circ, publics)
     toks = [f"cin:{stmt['c_in']:x}"]
     if result.finalize is not None:
-        toks += [vmv.format_value(v) for v in result.finalize.args]
+        toks += [_format_payload_value(program, v)
+                 for v in result.finalize.args]
     rec_values = []
     outs_nonfuture = [s for s in fn.outputs if not _is_future_output(s, program)]
     for out, spec in zip(result.outputs, outs_nonfuture):
@@ -1251,7 +1279,7 @@ def prove_execution(payload: bytes, fee: int, key: int, program,
             continue
         if vis == "private":
             continue  # bound by C_privout, never revealed
-        toks.append(vmv.format_value(out))
+        toks.append(_format_payload_value(program, out))
     toks += [f"reccomm:{c:x}" for c in stmt["rec_comms"]]
     toks.append(f"cpriv:{stmt['c_privout']:x}")
     for base, v in rec_values:

@@ -44,10 +44,24 @@ constraints: an overflowing trace has no satisfying assignment, so a
 HaltError execution is unprovable — the circuit enforces the
 interpreter's halt semantics rather than modelling them.
 
-Functions using constructs outside the supported subset (structs,
-group/scalar ops, signed ints, non-field hashes, closures) raise
-``SynthesisUnsupported``; such functions remain enforced by public
-re-execution (node/ledger.py), exactly as before.
+Provable subset (r5 — near-complete instruction coverage, reference:
+snarkVM's synthesizer compiles every deployed function):
+- all integer types INCLUDING signed (two's-complement encodings;
+  checked ops surface halts as unsatisfiability, wrapped ops truncate),
+- div/rem/mod, bitwise and/or/xor/nand/nor/not, shl/shr (+.w, dynamic
+  amounts), pow/pow.w with constant exponents, checked + lossy casts,
+- structs (flat; public/private inputs, outputs, finalize args — one
+  statement slot per member for public positions),
+- closures (inlined recursively, depth-capped),
+- Edwards group ops (complete-law add/sub/double/neg, scalar mul via a
+  canonical-bit double-and-add ladder, casts from uints/scalars) and
+  canonical scalar wires,
+- hash.psd2 / hash.psd4 on field operands.
+Still outside: group-typed function I/O, dynamic pow exponents, 128-bit
+mul/div/shift products (exceed the field), non-psd hashes (byte-string
+encodings), cross-program calls.  Such functions raise
+``SynthesisUnsupported`` and remain enforced by public re-execution
+(node/ledger.py), exactly as before.
 """
 
 from __future__ import annotations
@@ -78,14 +92,25 @@ class SynthesisUnsupported(Exception):
 
 
 UINT_BITS = {"u8": 8, "u16": 16, "u32": 32, "u64": 64, "u128": 128}
-# literal types a circuit value can carry; 'address' is an opaque field
-CIRCUIT_TYPES = set(UINT_BITS) | {"field", "boolean", "address"}
+# all integer types: name -> (width, signed).  Signed values are carried
+# as their two's-complement encoding in [0, 2^w) — the canonical public
+# encoding AND the in-circuit wire value; the signed VALUE is recovered
+# as enc - 2^w * msb where needed (comparisons, checked arithmetic).
+INT_BITS = dict(V.INT_TYPES)
+# literal types a circuit value can carry; 'address' is an opaque field;
+# 'scalar' wires carry canonical (< subgroup-order) values
+CIRCUIT_TYPES = set(INT_BITS) | {"field", "boolean", "address", "scalar"}
+_CALL_DEPTH_MAX = 8  # closure inlining recursion cap
 
 
 @dataclass
 class CVal:
     ty: str
     lc: LinComb
+    # cached little-endian bit LinCombs (integer types only) — filled by
+    # range constraints and reused by sign/compare/bitwise gadgets so a
+    # register is never decomposed twice
+    bits: list | None = None
 
 
 @dataclass
@@ -95,6 +120,25 @@ class RecVal:
 
     rec: str
     members: dict  # name -> CVal
+
+
+@dataclass
+class StructVal:
+    """A (flat) struct value inside the circuit: type name + members."""
+
+    struct: str
+    members: dict  # name -> CVal
+
+
+@dataclass
+class GroupVal:
+    """An Edwards-BLS12 point inside the circuit (affine coordinates over
+    Fr — the curve's base field IS the circuit field, which is what makes
+    group ops circuit-native).  Group values arise from literals, casts
+    and group arithmetic; they are not statement-slot types."""
+
+    x: LinComb
+    y: LinComb
 
 
 @dataclass
@@ -162,16 +206,31 @@ def address_field(addr) -> int:
 
 
 def value_to_public_field(v: V.Value) -> int:
-    """Canonical ONE-field encoding of a circuit-supported literal."""
+    """Canonical ONE-field encoding of a circuit-supported literal.
+    Signed integers encode as their two's-complement residue mod 2^w."""
     if v.ty == "field":
         return v.val % R
     if v.ty == "boolean":
         return 1 if v.val else 0
-    if v.ty in UINT_BITS:
-        return v.val % R
+    if v.ty in INT_BITS:
+        return v.val % (1 << INT_BITS[v.ty][0])
+    if v.ty == "scalar":
+        return v.val % R  # already < subgroup order < R
     if v.ty == "address":
         return address_field(v.val)
     raise SynthesisUnsupported(f"type {v.ty!r} has no public encoding")
+
+
+def value_leaf_fields(v: V.Value) -> list:
+    """Flattened field encoding: structs yield one field per member (in
+    declaration order), leaves yield one field (value_to_public_field).
+    Mirrors the circuit's one-statement-slot-per-leaf layout."""
+    if isinstance(v.val, dict) and v.ty not in CIRCUIT_TYPES:
+        out = []
+        for m in v.val.values():
+            out.extend(value_leaf_fields(m))
+        return out
+    return [value_to_public_field(v)]
 
 
 def record_id(program_id: str, record_name: str) -> int:
@@ -268,26 +327,83 @@ class _Synth:
         self.enforce(d, {zvar: 1}, {})
         return {zvar: 1}
 
-    def sponge_hash1(self, domain: str, fields: list) -> LinComb:
+    def sponge_hash1(self, domain: str, fields: list, rate: int = 2) -> LinComb:
         """In-circuit Poseidon sponge over LinComb inputs, mirroring
-        poseidon.hash1(fields, rate=2, domain) bit for bit (absorb into
-        the two rate slots, permute per full block, squeeze slot 1)."""
+        poseidon.hash1(fields, rate, domain) bit for bit (absorb into
+        the rate slots, permute per full block, squeeze slot 1)."""
         dom = poseidon._domain_to_field(domain)
         zero: LinComb = {}
-        state = [{self.cs.one: dom}, zero, zero]
+        state = [{self.cs.one: dom}] + [zero] * rate
         pos = 0
         for lc in fields:
-            if pos == 2:
-                state = _poseidon_circuit(self.cs, state, self.z)
+            if pos == rate:
+                state = _poseidon_circuit(self.cs, state, self.z, rate=rate)
                 pos = 0
             state[1 + pos] = _lc_add(state[1 + pos], dict(lc))
             pos += 1
-        state = _poseidon_circuit(self.cs, state, self.z)
+        state = _poseidon_circuit(self.cs, state, self.z, rate=rate)
         return state[1]
+
+    # -- integer helpers -----------------------------------------------------
+    def int_bits(self, cv: CVal) -> list:
+        """LE bit LinCombs of an integer CVal's encoding, cached on the
+        CVal so each register is decomposed at most once."""
+        if cv.bits is None:
+            cv.bits = self.bits(cv.lc, INT_BITS[cv.ty][0])
+        return cv.bits
+
+    def signed_lc(self, cv: CVal) -> LinComb:
+        """The integer VALUE of cv as a field LinComb: the encoding for
+        unsigned types, enc - 2^w * msb (two's complement) for signed."""
+        w, signed = INT_BITS[cv.ty]
+        if not signed:
+            return cv.lc
+        msb = self.int_bits(cv)[w - 1]
+        return _lc_add(cv.lc, _lc_scale(msb, R - (1 << w)))
+
+    def signed_result(self, ty: str, v: LinComb, v_int: int | None) -> CVal:
+        """Checked signed result: enforce VALUE v in [-2^(w-1), 2^(w-1))
+        (unsatisfiable otherwise — the halt) and return its
+        two's-complement encoding with cached bits."""
+        w = INT_BITS[ty][0]
+        half = 1 << (w - 1)
+        t = _lc_add(v, {self.cs.one: half})
+        if self.z is not None and not (0 <= (self.val(v) + half) % R < (1 << w)):
+            raise V.HaltError(f"{ty} result out of range")
+        tb = self.bits(t, w)
+        not_msb = _lc_add({self.cs.one: 1}, _lc_scale(tb[w - 1], R - 1))
+        enc = _lc_add(_lc_add(t, {self.cs.one: R - half}),
+                      _lc_scale(not_msb, 1 << w))
+        # enc's bits are tb[0..w-2] + [1 - tb[w-1]] — cache them
+        return CVal(ty, enc, bits=tb[:w - 1] + [not_msb])
+
+    def wrapped_result(self, ty: str, t: LinComb, m: int,
+                       t_int: int | None) -> CVal:
+        """Result = (t mod 2^w) where t is a NON-NEGATIVE field value
+        known to fit in m bits; returns encoding with cached bits."""
+        w = INT_BITS[ty][0]
+        if self.z is not None and self.val(t) >= (1 << m):
+            raise V.HaltError(f"wrap gadget width exceeded for {ty}")
+        tb = self.bits(t, m)
+        enc: LinComb = {}
+        for i in range(w):
+            enc = _lc_add(enc, _lc_scale(tb[i], 1 << i))
+        return CVal(ty, enc, bits=tb[:w])
+
+    def neg_enc(self, cv: CVal) -> CVal:
+        """Two's-complement negation of the ENCODING: (2^w - u) mod 2^w,
+        i.e. multiply-free wrap-around negation (abs.w / sign fixups)."""
+        w = INT_BITS[cv.ty][0]
+        nz = _lc_add({self.cs.one: 1},
+                     _lc_scale(self.is_zero(cv.lc), R - 1))
+        # enc_out = (2^w - u) * nz   (u=0 -> 0, else 2^w - u < 2^w)
+        out = self.mul(_lc_add({self.cs.one: 1 << w}, _lc_scale(cv.lc, R - 1)),
+                       nz)
+        return CVal(cv.ty, out)
 
 
 def _int_like(ty: str) -> bool:
-    return ty in UINT_BITS
+    return ty in INT_BITS
 
 
 def _arith_binary(s: _Synth, op: str, a: CVal, b: CVal) -> CVal:
@@ -314,31 +430,124 @@ def _arith_binary(s: _Synth, op: str, a: CVal, b: CVal) -> CVal:
             return CVal("field", {q: 1})
         raise SynthesisUnsupported(f"field op {op!r}")
     if _int_like(ty):
-        w = UINT_BITS[ty]
+        w, signed = INT_BITS[ty]
+        if op in ("add", "sub", "mul") and signed:
+            va, vb = s.signed_lc(a), s.signed_lc(b)
+            if op == "add":
+                v = _lc_add(va, vb)
+            elif op == "sub":
+                v = _lc_add(va, _lc_scale(vb, R - 1))
+            else:
+                if w > 64:
+                    raise SynthesisUnsupported("i128 mul exceeds the field")
+                v = s.mul(va, vb)
+            return s.signed_result(ty, v, None)
         if op == "add":
             out = _lc_add(a.lc, b.lc)
-            s.bits(out, w)  # no-overflow range check
-            return CVal(ty, out)
+            bs = s.bits(out, w)  # no-overflow range check
+            return CVal(ty, out, bits=bs)
         if op == "sub":
             out = _lc_add(a.lc, _lc_scale(b.lc, R - 1))
-            s.bits(out, w)  # underflow -> unsatisfiable
-            return CVal(ty, out)
+            bs = s.bits(out, w)  # underflow -> unsatisfiable
+            return CVal(ty, out, bits=bs)
         if op == "mul":
             if w > 64:
                 raise SynthesisUnsupported("u128 mul product exceeds the field")
             prod = s.mul(a.lc, b.lc)
-            s.bits(prod, w)
-            return CVal(ty, prod)
+            bs = s.bits(prod, w)
+            return CVal(ty, prod, bits=bs)
+        if op in ("add.w", "sub.w"):
+            # wrap-around on the ENCODINGS is signedness-independent
+            if op == "add.w":
+                t = _lc_add(a.lc, b.lc)
+            else:
+                t = _lc_add(_lc_add(a.lc, _lc_scale(b.lc, R - 1)),
+                            {s.cs.one: 1 << w})
+            return s.wrapped_result(ty, t, w + 1, None)
+        if op == "mul.w":
+            if w > 64:
+                raise SynthesisUnsupported("128-bit mul.w exceeds the field")
+            t = s.mul(a.lc, b.lc)
+            return s.wrapped_result(ty, t, 2 * w, None)
+        if op in ("div", "rem", "mod", "div.w", "rem.w"):
+            return _int_divrem(s, op, a, b)
         raise SynthesisUnsupported(f"integer op {op!r}")
     raise SynthesisUnsupported(f"{op} on {ty}")
+
+
+def _int_divrem(s: _Synth, op: str, a: CVal, b: CVal) -> CVal:
+    """Truncated division family.  Relation: |a| = q * |b| + r with
+    0 <= r < |b| and q in [0, 2^w); signs reattached per Aleo semantics
+    (quotient sign = sa^sb, remainder sign = sa).  Checked variants
+    additionally enforce the signed quotient in range (iN::MIN / -1 and
+    iN::MIN rem -1 halt); div-by-zero is unsatisfiable (r < 0)."""
+    ty = a.ty
+    w, signed = INT_BITS[ty]
+    if w > 64:
+        raise SynthesisUnsupported("128-bit div/rem exceeds the field")
+    if op == "mod" and signed:
+        raise V.HaltError("mod requires unsigned operands")
+    if s.z is not None and s.val(b.lc) == 0:
+        raise V.HaltError("division by zero")
+    if signed:
+        sa, sb = s.int_bits(a)[w - 1], s.int_bits(b)[w - 1]
+        ua = _abs_enc(s, a, sa)
+        ub = _abs_enc(s, b, sb)
+    else:
+        ua, ub = a.lc, b.lc
+    if s.z is not None:
+        uav, ubv = s.val(ua), s.val(ub)
+        qv, rv = uav // ubv, uav % ubv
+    else:
+        qv = rv = None
+    q = s.alloc(qv)
+    r = s.alloc(rv)
+    s.bits({q: 1}, w)
+    s.bits({r: 1}, w)
+    # ua = q * ub + r
+    s.enforce({q: 1}, ub, _lc_add(ua, _lc_scale({r: 1}, R - 1)))
+    # r < ub:  ub - 1 - r in [0, 2^w)
+    s.bits(_lc_add(ub, _lc_add({s.cs.one: R - 1}, _lc_scale({r: 1}, R - 1))), w)
+    if not signed:
+        return CVal(ty, {q: 1} if op in ("div", "div.w") else {r: 1})
+    # sign of the quotient: sa ^ sb (wrapped); of the remainder: sa
+    sq = _lc_add(_lc_add(sa, sb), _lc_scale(s.mul(sa, sb), R - 2))
+    if op in ("div", "rem"):
+        # checked: signed quotient must be representable (MIN / -1 halts;
+        # snarkVM also halts MIN rem -1 — same q-range violation)
+        vq = s.mul(_lc_add({s.cs.one: 1}, _lc_scale(sq, R - 2)), {q: 1})
+        qcv = s.signed_result(ty, vq, None)
+        if op == "div":
+            return qcv
+    if op == "div.w":
+        qn = s.neg_enc(CVal(ty, {q: 1}))
+        return CVal(ty, _ternary(s, CVal("boolean", sq),
+                                 qn, CVal(ty, {q: 1})).lc)
+    # remainder (rem / rem.w): encoding = sa ? -r : r  (wrap; |r|<|b| so
+    # the signed value is always representable)
+    rn = s.neg_enc(CVal(ty, {r: 1}))
+    return CVal(ty, _ternary(s, CVal("boolean", sa),
+                             rn, CVal(ty, {r: 1})).lc)
+
+
+def _abs_enc(s: _Synth, cv: CVal, msb: LinComb) -> LinComb:
+    """|value| of a signed CVal as an UNSIGNED w-bit field value
+    (|iN::MIN| = 2^(w-1) is representable)."""
+    neg = s.neg_enc(cv)
+    return _ternary(s, CVal("boolean", msb), neg, CVal(cv.ty, cv.lc)).lc
 
 
 def _compare(s: _Synth, op: str, a: CVal, b: CVal) -> CVal:
     if a.ty != b.ty or not _int_like(a.ty):
         raise SynthesisUnsupported(f"compare on {a.ty}/{b.ty}")
-    w = UINT_BITS[a.ty]
+    w, signed = INT_BITS[a.ty]
+    alc, blc = a.lc, b.lc
+    if signed:
+        # bias to order-preserving unsigned form: enc - 2^w*msb + 2^(w-1)
+        alc = _lc_add(s.signed_lc(a), {s.cs.one: 1 << (w - 1)})
+        blc = _lc_add(s.signed_lc(b), {s.cs.one: 1 << (w - 1)})
     # a - b + 2^w in [1, 2^(w+1)): bit w of the decomposition is (a >= b)
-    shifted = _lc_add(_lc_add(a.lc, _lc_scale(b.lc, R - 1)),
+    shifted = _lc_add(_lc_add(alc, _lc_scale(blc, R - 1)),
                       {s.cs.one: 1 << w})
     bs = s.bits(shifted, w + 1)
     ge = bs[w]
@@ -357,53 +566,292 @@ def _ternary(s: _Synth, c: CVal, a: CVal, b: CVal) -> CVal:
     return CVal(a.ty, _lc_add(t, b.lc))
 
 
-def _logical(s: _Synth, op: str, a: CVal, b: CVal) -> CVal:
-    if a.ty != "boolean" or b.ty != "boolean":
-        raise SynthesisUnsupported(f"{op} on non-boolean")
-    ab = s.mul(a.lc, b.lc)
+def _bit_logical(s: _Synth, op: str, alc: LinComb, blc: LinComb) -> LinComb:
+    """One-bit gate over boolean-constrained LinCombs."""
+    ab = s.mul(alc, blc)
     one: LinComb = {s.cs.one: 1}
     if op == "and":
-        out = ab
-    elif op == "or":
-        out = _lc_add(_lc_add(a.lc, b.lc), _lc_scale(ab, R - 1))
-    elif op == "xor":
-        out = _lc_add(_lc_add(a.lc, b.lc), _lc_scale(ab, R - 2))
-    elif op == "nand":
-        out = _lc_add(one, _lc_scale(ab, R - 1))
-    elif op == "nor":
-        out = _lc_add(one, _lc_scale(
-            _lc_add(_lc_add(a.lc, b.lc), _lc_scale(ab, R - 1)), R - 1))
+        return ab
+    if op == "or":
+        return _lc_add(_lc_add(alc, blc), _lc_scale(ab, R - 1))
+    if op == "xor":
+        return _lc_add(_lc_add(alc, blc), _lc_scale(ab, R - 2))
+    if op == "nand":
+        return _lc_add(one, _lc_scale(ab, R - 1))
+    if op == "nor":
+        return _lc_add(one, _lc_scale(
+            _lc_add(_lc_add(alc, blc), _lc_scale(ab, R - 1)), R - 1))
+    raise SynthesisUnsupported(f"logical {op!r}")
+
+
+def _logical(s: _Synth, op: str, a: CVal, b: CVal) -> CVal:
+    if a.ty == "boolean" and b.ty == "boolean":
+        return CVal("boolean", _bit_logical(s, op, a.lc, b.lc))
+    if _int_like(a.ty) and a.ty == b.ty:
+        # bitwise on integers (two's-complement encodings)
+        w = INT_BITS[a.ty][0]
+        abits, bbits = s.int_bits(a), s.int_bits(b)
+        obits = [_bit_logical(s, op, abits[i], bbits[i]) for i in range(w)]
+        enc: LinComb = {}
+        for i, ob in enumerate(obits):
+            enc = _lc_add(enc, _lc_scale(ob, 1 << i))
+        return CVal(a.ty, enc, bits=obits)
+    raise SynthesisUnsupported(f"{op} on {a.ty}/{b.ty}")
+
+
+def _group_const(s: _Synth, p) -> GroupVal:
+    """A constant point as a GroupVal."""
+    x, y = p
+    return GroupVal(x={s.cs.one: x % R} if x % R else {},
+                    y={s.cs.one: y % R} if y % R else {})
+
+
+def _group_add(s: _Synth, p: GroupVal, q: GroupVal) -> GroupVal:
+    """Complete twisted-Edwards addition (a = -1, mirrors
+    crypto/ref/edwards.add):  x3 = (x1 y2 + y1 x2) / (1 + d t),
+    y3 = (y1 y2 + x1 x2) / (1 - d t)  with t = x1 x2 y1 y2.  The
+    denominators are provably non-zero for subgroup points, so the
+    quotient wires always exist."""
+    D = __import__("snarkos_tpu.crypto.ref.edwards",
+                   fromlist=["D"]).D
+    A = s.mul(p.x, q.x)           # x1 x2
+    B = s.mul(p.y, q.y)           # y1 y2
+    # (x1 + y1)(x2 + y2) = A + B + (x1 y2 + y1 x2)
+    C = s.mul(_lc_add(p.x, p.y), _lc_add(q.x, q.y))
+    T = _lc_scale(s.mul(A, B), D % R)   # d * x1 x2 y1 y2
+    num_x = _lc_add(C, _lc_add(_lc_scale(A, R - 1), _lc_scale(B, R - 1)))
+    num_y = _lc_add(A, B)
+    den_x = _lc_add({s.cs.one: 1}, T)
+    den_y = _lc_add({s.cs.one: 1}, _lc_scale(T, R - 1))
+    if s.z is not None:
+        x3 = s.val(num_x) * pow(s.val(den_x), -1, R) % R
+        y3 = s.val(num_y) * pow(s.val(den_y), -1, R) % R
     else:
-        raise SynthesisUnsupported(f"logical {op!r}")
-    return CVal("boolean", out)
+        x3 = y3 = None
+    x3v, y3v = s.alloc(x3), s.alloc(y3)
+    s.enforce({x3v: 1}, den_x, num_x)
+    s.enforce({y3v: 1}, den_y, num_y)
+    return GroupVal(x={x3v: 1}, y={y3v: 1})
 
 
-def _hash_psd2(s: _Synth, v: CVal) -> CVal:
-    """In-circuit Poseidon2 of ONE field element (interpreter parity:
-    vm/interpreter._value_to_fields encodes a field value as itself)."""
+def _group_neg(p: GroupVal) -> GroupVal:
+    return GroupVal(x=_lc_scale(p.x, R - 1), y=dict(p.y))
+
+
+def _group_mux(s: _Synth, c: LinComb, p: GroupVal, q: GroupVal) -> GroupVal:
+    """c ? p : q  coordinate-wise."""
+    tx = s.mul(c, _lc_add(p.x, _lc_scale(q.x, R - 1)))
+    ty = s.mul(c, _lc_add(p.y, _lc_scale(q.y, R - 1)))
+    return GroupVal(x=_lc_add(tx, q.x), y=_lc_add(ty, q.y))
+
+
+def _group_scalar_mul(s: _Synth, kbits: list, p: GroupVal) -> GroupVal:
+    """MSB-first double-and-add over bit LinCombs (kbits little-endian)."""
+    acc = _group_const(s, (0, 1))  # identity
+    for b in reversed(kbits):
+        acc = _group_add(s, acc, acc)
+        with_p = _group_add(s, acc, p)
+        acc = _group_mux(s, b, with_p, acc)
+    return acc
+
+
+def _scalar_canon_bits(s: _Synth, cv: CVal) -> list:
+    """Canonical bit decomposition of a scalar wire: value < subgroup
+    order (soundness: two decompositions of the same field residue would
+    change k*P)."""
+    from snarkos_tpu.crypto.ref import edwards
+
+    nb = edwards.ORDER.bit_length()
+    if cv.bits is None:
+        bs = s.bits(cv.lc, nb)
+        # ORDER - 1 - k in [0, 2^nb)
+        s.bits(_lc_add({s.cs.one: edwards.ORDER - 1},
+                       _lc_scale(cv.lc, R - 1)), nb)
+        cv.bits = bs
+    return cv.bits
+
+
+def _pow2_of(s: _Synth, b: CVal, lg_w: int) -> tuple:
+    """(2^(b mod w) as a LinComb, b's low-bit list).  Uses only the low
+    lg_w bits of the shift amount b (w = 2^lg_w)."""
+    bbits = s.int_bits(b)
+    p: LinComb = {s.cs.one: 1}
+    for i in range(lg_w):
+        # p *= (1 + b_i * (2^(2^i) - 1))
+        factor = _lc_add({s.cs.one: 1},
+                         _lc_scale(bbits[i], (1 << (1 << i)) - 1))
+        p = s.mul(p, factor)
+    return p, bbits
+
+
+def _shift(s: _Synth, op: str, a: CVal, b: CVal) -> CVal:
+    """shl/shr and wrapped variants with a DYNAMIC u8/u16/u32 amount.
+    Checked forms enforce amount < w (halt otherwise); wrapped forms use
+    amount mod w.  128-bit operands exceed the field for the product
+    relations and stay unsupported."""
+    ty = a.ty
+    if not _int_like(ty) or b.ty not in ("u8", "u16", "u32"):
+        raise SynthesisUnsupported(f"{op} on {a.ty}/{b.ty}")
+    w, signed = INT_BITS[ty]
+    if w > 64:
+        raise SynthesisUnsupported("128-bit shift exceeds the field")
+    lg_w = w.bit_length() - 1
+    checked = not op.endswith(".w")
+    p2b, bbits = _pow2_of(s, b, lg_w)
+    if checked:
+        # amount < w: every bit above lg_w must be zero
+        high = functools.reduce(_lc_add, bbits[lg_w:], {})
+        if s.z is not None and s.val(high) != 0:
+            raise V.HaltError("shift amount exceeds bit width")
+        s.enforce(high, {s.cs.one: 1}, {})
+    base = op.split(".")[0]
+    if base == "shl":
+        v = s.mul(s.signed_lc(a) if signed else a.lc, p2b)
+        if checked:
+            return s.signed_result(ty, v, None) if signed \
+                else CVal(ty, v, bits=s.bits(v, w))
+        # shl.w: wrap the (non-negative) encoding product to w bits
+        t = s.mul(a.lc, p2b)
+        return s.wrapped_result(ty, t, 2 * w, None)
+    # shr: value = q * 2^b + rem with 0 <= rem < 2^b (floor semantics,
+    # arithmetic shift for signed)
+    if s.z is not None:
+        va = s.val(s.signed_lc(a)) if signed else s.val(a.lc)
+        if va >= R // 2:
+            va -= R  # negative signed value
+        sh = s.val(p2b)
+        qv, remv = va // sh, va % sh
+    else:
+        qv = remv = None
+    qenc = s.alloc(qv % (1 << w) if qv is not None else None)
+    rem = s.alloc(remv)
+    qcv = CVal(ty, {qenc: 1})
+    qbits = s.int_bits(qcv)
+    s.bits({rem: 1}, w)
+    # rem < 2^b:  2^b - 1 - rem in [0, 2^w)
+    s.bits(_lc_add(p2b, _lc_add({s.cs.one: R - 1},
+                                _lc_scale({rem: 1}, R - 1))), w)
+    vq = _lc_add({qenc: 1}, _lc_scale(qbits[w - 1], R - (1 << w))) \
+        if signed else {qenc: 1}
+    va_lc = s.signed_lc(a) if signed else a.lc
+    s.enforce(vq, p2b, _lc_add(va_lc, _lc_scale({rem: 1}, R - 1)))
+    return qcv
+
+
+def _int_pow(s: _Synth, op: str, a: CVal, b: CVal, b_const: int | None) -> CVal:
+    """pow/pow.w with a CONSTANT exponent (a literal operand); dynamic
+    exponents are outside the provable subset.  Field base: square-and-
+    multiply mod p.  Integer base checked: the exact integer a^e must fit
+    the field (w*e <= 250) so the final range check mirrors snarkVM's
+    check_int(a**e); integer pow.w wraps at every step."""
+    if b_const is None:
+        raise SynthesisUnsupported(f"{op} requires a constant exponent")
+    e = b_const
+    if a.ty == "field":
+        if op != "pow":
+            raise SynthesisUnsupported("pow.w on field")
+        out = CVal("field", {s.cs.one: 1})
+        for bit in bin(e)[2:]:
+            out = CVal("field", s.mul(out.lc, out.lc))
+            if bit == "1":
+                out = CVal("field", s.mul(out.lc, a.lc))
+        return out
+    if not _int_like(a.ty):
+        raise SynthesisUnsupported(f"pow on {a.ty}")
+    w, signed = INT_BITS[a.ty]
+    if op == "pow":
+        if w * max(e, 1) > 250:
+            raise SynthesisUnsupported("pow result exceeds the field")
+        v = {s.cs.one: 1}
+        va = s.signed_lc(a) if signed else a.lc
+        for _ in range(e):
+            v = s.mul(v, va)
+        return s.signed_result(a.ty, v, None) if signed \
+            else CVal(a.ty, v, bits=s.bits(v, w))
+    # pow.w: wrapped square-and-multiply on encodings
+    out = CVal(a.ty, {s.cs.one: 1})
+    for bit in bin(e)[2:]:
+        out = _arith_binary(s, "mul.w", out, out)
+        if bit == "1":
+            out = _arith_binary(s, "mul.w", out, a)
+    return out
+
+
+def _hash_psd(s: _Synth, rate: int, v: CVal) -> CVal:
+    """In-circuit Poseidon-sponge hash of ONE field element (interpreter
+    parity: vm/interpreter._value_to_fields encodes a field value as
+    itself).  rate=2 -> hash.psd2, rate=4 -> hash.psd4."""
     if v.ty != "field":
-        raise SynthesisUnsupported("hash.psd2 provable only for field operands")
-    dom = poseidon._domain_to_field(HASH_DOMAIN)
+        raise SynthesisUnsupported(
+            f"hash.psd{rate} provable only for field operands")
+    dom = poseidon._domain_to_field(f"snarkos_tpu.vm.hash.psd{rate}")
     zero: LinComb = {}
-    state = [{s.cs.one: dom}, dict(v.lc), zero]
+    state = [{s.cs.one: dom}, dict(v.lc)] + [zero] * (rate - 1)
     tz = s.z  # _poseidon_circuit consumes the shared trace list directly
-    out = _poseidon_circuit(s.cs, state, tz)
+    out = _poseidon_circuit(s.cs, state, tz, rate=rate)
     return CVal("field", out[1])
 
 
-def _cast(s: _Synth, v: CVal, ty: str) -> CVal:
+def _cast(s: _Synth, v: CVal, ty: str, lossy: bool = False) -> CVal:
     base = ty.split(".")[0]
     if base == v.ty:
         return v
-    if base == "field" and (_int_like(v.ty) or v.ty == "boolean"):
-        return CVal("field", v.lc)  # value already < 2^128 < p
-    if _int_like(base) and v.ty in ("field",) | set(UINT_BITS):
-        src_w = UINT_BITS.get(v.ty)
-        dst_w = UINT_BITS[base]
-        if src_w is not None and src_w <= dst_w:
+    src_signed = _int_like(v.ty) and INT_BITS[v.ty][1]
+    if base == "field":
+        if v.ty in ("boolean", "scalar") or (_int_like(v.ty)
+                                             and not src_signed):
+            return CVal("field", v.lc)  # value already < order/2^128 < p
+        if src_signed:
+            # V.cast: value mod p (negative -> p + v), i.e. the VALUE lc
+            return CVal("field", s.signed_lc(v))
+        raise SynthesisUnsupported(f"cast {v.ty} -> field")
+    if base == "boolean":
+        if not _int_like(v.ty):
+            raise SynthesisUnsupported(f"cast {v.ty} -> boolean")
+        # requires encoding 0/1 (negative values encode large -> halt)
+        if s.z is not None and s.val(v.lc) not in (0, 1):
+            raise V.HaltError("cast to boolean requires 0/1")
+        s.enforce(v.lc, _lc_add({s.cs.one: 1}, _lc_scale(v.lc, R - 1)), {})
+        return CVal("boolean", v.lc)
+    if _int_like(base):
+        dst_w, dst_signed = INT_BITS[base]
+        if v.ty == "boolean":
             return CVal(base, v.lc)
-        s.bits(v.lc, dst_w)  # narrowing: halt (unsat) when out of range
-        return CVal(base, v.lc)
+        if v.ty == "field" and not lossy:
+            if dst_signed:
+                # non-negative field value must fit [0, 2^(w-1))
+                bs = s.bits(v.lc, dst_w - 1)
+                return CVal(base, v.lc, bits=bs + [dict()])
+            bs = s.bits(v.lc, dst_w)  # halt (unsat) when out of range
+            return CVal(base, v.lc, bits=bs)
+        if not _int_like(v.ty):
+            raise SynthesisUnsupported(f"cast {v.ty} -> {ty}")
+        src_w = INT_BITS[v.ty][0]
+        if lossy:
+            # wrap_int semantics: enc' = VALUE mod 2^dst_w
+            if not src_signed and dst_w >= src_w:
+                return CVal(base, v.lc, bits=v.bits)
+            if dst_w <= src_w:
+                # truncate the encoding (two's complement wrap)
+                bs = s.int_bits(v)[:dst_w]
+                enc: LinComb = {}
+                for i, bb in enumerate(bs):
+                    enc = _lc_add(enc, _lc_scale(bb, 1 << i))
+                return CVal(base, enc, bits=list(bs))
+            # signed widening: sign-extend via (value + 2^dst_w) mod 2^dst_w
+            vv = s.signed_lc(v)
+            return s.wrapped_result(
+                base, _lc_add(vv, {s.cs.one: 1 << dst_w}), dst_w + 1, None)
+        # checked int -> int: the VALUE must fit the destination range
+        vv = s.signed_lc(v)
+        off = 1 << (dst_w - 1) if dst_signed else 0
+        t = _lc_add(vv, {s.cs.one: off}) if off else vv
+        if s.z is not None and not (0 <= (s.val(vv) + off) % R < (1 << dst_w)):
+            raise V.HaltError(f"cast out of range for {base}")
+        if dst_signed:
+            return s.signed_result(base, vv, None)
+        bs = s.bits(t, dst_w)
+        return CVal(base, t, bits=bs)
     raise SynthesisUnsupported(f"cast {v.ty} -> {ty}")
 
 
@@ -411,8 +859,410 @@ def _constrain_literal(s: _Synth, cv: CVal):
     """Type constraints on an unconstrained (witness or public) wire."""
     if cv.ty == "boolean":
         s.enforce(cv.lc, _lc_add({s.cs.one: 1}, _lc_scale(cv.lc, R - 1)), {})
-    elif cv.ty in UINT_BITS:
-        s.bits(cv.lc, UINT_BITS[cv.ty])
+    elif cv.ty in INT_BITS:
+        cv.bits = s.bits(cv.lc, INT_BITS[cv.ty][0])
+    elif cv.ty == "scalar":
+        _scalar_canon_bits(s, cv)  # canonical: value < subgroup order
+
+
+def _make_operand(s: _Synth, program: Program, regs: dict, caller_cv: CVal):
+    """(operand, operand_any) resolvers over a register namespace."""
+
+    def operand_any(tok: str):
+        if tok in regs:
+            return regs[tok]
+        if "." in tok and tok.split(".")[0] in regs:
+            base_reg, *path = tok.split(".")
+            rv = regs[base_reg]
+            for p in path:
+                if isinstance(rv, (RecVal, StructVal)) and p in rv.members:
+                    rv = rv.members[p]
+                else:
+                    raise SynthesisUnsupported(f"member access {tok!r}")
+            return rv
+        if tok in ("self.caller", "self.signer"):
+            return caller_cv
+        v = V.parse_literal(tok)
+        if v.ty == "group":
+            return _group_const(s, v.val)
+        if v.ty == "scalar":
+            return CVal("scalar", {s.cs.one: v.val % R})
+        if v.ty not in CIRCUIT_TYPES:
+            raise SynthesisUnsupported(f"literal {tok!r}")
+        return CVal(v.ty, {s.cs.one: value_to_public_field(v)})
+
+    def operand(tok: str) -> CVal:
+        v = operand_any(tok)
+        if isinstance(v, (RecVal, StructVal)):
+            raise SynthesisUnsupported(f"composite {tok!r} used as literal")
+        return v
+
+    return operand, operand_any
+
+
+def _leaf_cvals(v) -> list:
+    """Flatten a circuit value to its leaf CVals (declaration order)."""
+    if isinstance(v, (RecVal, StructVal)):
+        out = []
+        for m in v.members.values():
+            out.extend(_leaf_cvals(m))
+        return out
+    return [v]
+
+
+def _eq_composite(s: _Synth, a, b) -> LinComb:
+    """Boolean LinComb: all leaves equal (same composite type assumed)."""
+    leaves_a, leaves_b = _leaf_cvals(a), _leaf_cvals(b)
+    eq: LinComb = {s.cs.one: 1}
+    for la, lb in zip(leaves_a, leaves_b):
+        d = _lc_add(la.lc, _lc_scale(lb.lc, R - 1))
+        eq = s.mul(eq, s.is_zero(d))
+    return eq
+
+
+def _same_composite(a, b) -> bool:
+    if isinstance(a, RecVal) and isinstance(b, RecVal):
+        return a.rec == b.rec
+    if isinstance(a, StructVal) and isinstance(b, StructVal):
+        return a.struct == b.struct
+    return False
+
+
+def _const_literal(tok: str):
+    """The concrete value of a literal operand token, else None."""
+    try:
+        return V.parse_literal(tok)
+    except Exception:
+        return None
+
+
+def _exec_body(s: _Synth, program: Program, caller_cv: CVal, regs: dict,
+               instructions: list, depth: int = 0):
+    """Symbolically execute an instruction list over ``regs`` (the single
+    dispatch shared by function bodies and inlined closures)."""
+    operand, operand_any = _make_operand(s, program, regs, caller_cv)
+    for ins in instructions:
+        op = ins.op
+        if op in ("add", "sub", "mul", "div", "add.w", "sub.w", "mul.w",
+                  "div.w", "rem", "rem.w", "mod"):
+            a, b = operand(ins.operands[0]), operand(ins.operands[1])
+            ga, gb = isinstance(a, GroupVal), isinstance(b, GroupVal)
+            if ga or gb:
+                if op == "add" and ga and gb:
+                    regs[ins.dests[0]] = _group_add(s, a, b)
+                elif op == "sub" and ga and gb:
+                    regs[ins.dests[0]] = _group_add(s, a, _group_neg(b))
+                elif op == "mul" and (ga != gb):
+                    p = a if ga else b
+                    k = b if ga else a
+                    if not isinstance(k, CVal) or k.ty != "scalar":
+                        raise SynthesisUnsupported("group mul needs a scalar")
+                    ktok = ins.operands[1 if ga else 0]
+                    kc = _const_literal(ktok)
+                    if kc is not None and kc.ty == "scalar":
+                        # constant scalar: constant bit pattern, no
+                        # decomposition / canonicity constraints needed
+                        kbits = [({s.cs.one: 1} if (kc.val >> i) & 1 else {})
+                                 for i in range(kc.val.bit_length() or 1)]
+                    else:
+                        kbits = _scalar_canon_bits(s, k)
+                    regs[ins.dests[0]] = _group_scalar_mul(s, kbits, p)
+                else:
+                    raise SynthesisUnsupported(f"group {op}")
+                continue
+            regs[ins.dests[0]] = _arith_binary(s, op, a, b)
+        elif op == "square":
+            a = operand(ins.operands[0])
+            if not isinstance(a, CVal) or a.ty != "field":
+                raise SynthesisUnsupported("square requires field")
+            regs[ins.dests[0]] = _arith_binary(s, "mul", a, a)
+        elif op == "double":
+            a = operand(ins.operands[0])
+            if isinstance(a, GroupVal):
+                regs[ins.dests[0]] = _group_add(s, a, a)
+                continue
+            if a.ty != "field":
+                raise SynthesisUnsupported("double requires field")
+            regs[ins.dests[0]] = _arith_binary(s, "add", a, a)
+        elif op == "neg":
+            a = operand(ins.operands[0])
+            if isinstance(a, GroupVal):
+                regs[ins.dests[0]] = _group_neg(a)
+                continue
+            if a.ty == "field":
+                regs[ins.dests[0]] = CVal("field", _lc_scale(a.lc, R - 1))
+            elif _int_like(a.ty):
+                w, signed = INT_BITS[a.ty]
+                if signed:
+                    v = _lc_scale(s.signed_lc(a), R - 1)
+                    regs[ins.dests[0]] = s.signed_result(a.ty, v, None)
+                else:
+                    # checked -u is representable only for u == 0
+                    if s.z is not None and s.val(a.lc) != 0:
+                        raise V.HaltError("neg overflow")
+                    s.enforce(a.lc, {s.cs.one: 1}, {})
+                    regs[ins.dests[0]] = a
+            else:
+                raise SynthesisUnsupported("neg on non-numeric")
+        elif op in ("abs", "abs.w"):
+            a = operand(ins.operands[0])
+            if not _int_like(a.ty):
+                raise SynthesisUnsupported("abs on non-integer")
+            w, signed = INT_BITS[a.ty]
+            if not signed:
+                regs[ins.dests[0]] = a
+            else:
+                msb = s.int_bits(a)[w - 1]
+                enc = _abs_enc(s, a, msb)
+                if op == "abs":
+                    # checked: |iN::MIN| = 2^(w-1) halts
+                    if s.z is not None and s.val(enc) >= (1 << (w - 1)):
+                        raise V.HaltError("abs overflow")
+                    bs = s.bits(enc, w - 1)
+                    regs[ins.dests[0]] = CVal(a.ty, enc, bits=bs + [dict()])
+                else:
+                    regs[ins.dests[0]] = CVal(a.ty, enc)
+        elif op == "inv":
+            a = operand(ins.operands[0])
+            one_cv = CVal("field", {s.cs.one: 1})
+            regs[ins.dests[0]] = _arith_binary(s, "div", one_cv, a)
+        elif op in ("and", "or", "xor", "nand", "nor"):
+            a, b = operand(ins.operands[0]), operand(ins.operands[1])
+            regs[ins.dests[0]] = _logical(s, op, a, b)
+        elif op == "not":
+            a = operand(ins.operands[0])
+            if a.ty == "boolean":
+                regs[ins.dests[0]] = CVal(
+                    "boolean", _lc_add({s.cs.one: 1}, _lc_scale(a.lc, R - 1)))
+            elif _int_like(a.ty):
+                w = INT_BITS[a.ty][0]
+                abits = s.int_bits(a)
+                obits = [_lc_add({s.cs.one: 1}, _lc_scale(bb, R - 1))
+                         for bb in abits]
+                enc = _lc_add({s.cs.one: (1 << w) - 1}, _lc_scale(a.lc, R - 1))
+                regs[ins.dests[0]] = CVal(a.ty, enc, bits=obits)
+            else:
+                raise SynthesisUnsupported("not on non-boolean/integer")
+        elif op == "ternary":
+            c = operand(ins.operands[0])
+            va, vb = operand_any(ins.operands[1]), operand_any(ins.operands[2])
+            if isinstance(va, GroupVal) or isinstance(vb, GroupVal):
+                if not (isinstance(va, GroupVal) and isinstance(vb, GroupVal)):
+                    raise SynthesisUnsupported("ternary group/non-group")
+                if c.ty != "boolean":
+                    raise SynthesisUnsupported("ternary condition type")
+                regs[ins.dests[0]] = _group_mux(s, c.lc, va, vb)
+            elif isinstance(va, (RecVal, StructVal)):
+                if not _same_composite(va, vb):
+                    raise SynthesisUnsupported("ternary on mixed composites")
+                members = {
+                    m: _ternary(s, c, va.members[m], vb.members[m])
+                    for m in va.members
+                }
+                regs[ins.dests[0]] = (
+                    RecVal(rec=va.rec, members=members)
+                    if isinstance(va, RecVal)
+                    else StructVal(struct=va.struct, members=members))
+            else:
+                regs[ins.dests[0]] = _ternary(s, c, va, vb)
+        elif op in ("is.eq", "is.neq"):
+            a = operand_any(ins.operands[0])
+            b = operand_any(ins.operands[1])
+            if isinstance(a, GroupVal) or isinstance(b, GroupVal):
+                if not (isinstance(a, GroupVal) and isinstance(b, GroupVal)):
+                    raise SynthesisUnsupported("eq group/non-group")
+                ex = s.is_zero(_lc_add(a.x, _lc_scale(b.x, R - 1)))
+                ey = s.is_zero(_lc_add(a.y, _lc_scale(b.y, R - 1)))
+                zb = s.mul(ex, ey)
+                if op == "is.neq":
+                    zb = _lc_add({s.cs.one: 1}, _lc_scale(zb, R - 1))
+                regs[ins.dests[0]] = CVal("boolean", zb)
+                continue
+            if isinstance(a, (RecVal, StructVal)) or isinstance(
+                    b, (RecVal, StructVal)):
+                if not _same_composite(a, b):
+                    raise SynthesisUnsupported("eq on mixed composites")
+                zb = _eq_composite(s, a, b)
+            elif a.ty != b.ty:
+                zb = {}  # eq_values: different types are never equal
+            else:
+                d = _lc_add(a.lc, _lc_scale(b.lc, R - 1))
+                zb = s.is_zero(d)
+            if op == "is.neq":
+                zb = _lc_add({s.cs.one: 1}, _lc_scale(zb, R - 1))
+            regs[ins.dests[0]] = CVal("boolean", zb)
+        elif op in ("assert.eq", "assert.neq"):
+            a = operand_any(ins.operands[0])
+            b = operand_any(ins.operands[1])
+            if isinstance(a, GroupVal) or isinstance(b, GroupVal):
+                if not (isinstance(a, GroupVal) and isinstance(b, GroupVal)):
+                    raise SynthesisUnsupported("assert group/non-group")
+                dx = _lc_add(a.x, _lc_scale(b.x, R - 1))
+                dy = _lc_add(a.y, _lc_scale(b.y, R - 1))
+                if op == "assert.eq":
+                    if s.z is not None and (s.val(dx) or s.val(dy)):
+                        raise V.HaltError("assert.eq failed")
+                    s.enforce(dx, {s.cs.one: 1}, {})
+                    s.enforce(dy, {s.cs.one: 1}, {})
+                else:
+                    if s.z is not None and not (s.val(dx) or s.val(dy)):
+                        raise V.HaltError("assert.neq failed")
+                    # NOT(dx == 0 AND dy == 0)
+                    s.enforce(s.is_zero(dx), s.is_zero(dy), {})
+                continue
+            if isinstance(a, (RecVal, StructVal)) or isinstance(
+                    b, (RecVal, StructVal)):
+                if not _same_composite(a, b):
+                    raise SynthesisUnsupported("assert on mixed composites")
+                eq = _eq_composite(s, a, b)
+                want = 1 if op == "assert.eq" else 0
+                if s.z is not None and s.val(eq) != want:
+                    raise V.HaltError(f"{op} failed")
+                s.enforce(_lc_add(eq, {s.cs.one: R - want}), {s.cs.one: 1}, {})
+                continue
+            if a.ty != b.ty:
+                # eq_values: never equal -> assert.eq always halts,
+                # assert.neq always passes
+                if op == "assert.eq":
+                    if s.z is not None:
+                        raise V.HaltError("assert.eq failed (type mismatch)")
+                    s.enforce({s.cs.one: 1}, {s.cs.one: 1}, {})
+                continue
+            d = _lc_add(a.lc, _lc_scale(b.lc, R - 1))
+            if op == "assert.eq":
+                if s.z is not None and s.val(d) != 0:
+                    raise V.HaltError("assert.eq failed")
+                s.enforce(d, {s.cs.one: 1}, {})
+            else:
+                if s.z is not None and s.val(d) == 0:
+                    raise V.HaltError("assert.neq failed")
+                dinv = s.alloc(pow(s.val(d), -1, R) if s.z is not None else None)
+                s.enforce(d, {dinv: 1}, {s.cs.one: 1})
+        elif op in ("lt", "gt", "lte", "gte",
+                    "is.lt", "is.gt", "is.lte", "is.gte"):
+            a, b = operand(ins.operands[0]), operand(ins.operands[1])
+            base = op.split(".")[-1]
+            if base in ("gte", "lt"):
+                regs[ins.dests[0]] = _compare(s, base, a, b)
+            elif base == "lte":  # a <= b  ==  b >= a
+                regs[ins.dests[0]] = _compare(s, "gte", b, a)
+            else:  # gt: a > b == b < a
+                regs[ins.dests[0]] = _compare(s, "lt", b, a)
+        elif op in ("shl", "shl.w", "shr", "shr.w"):
+            a, b = operand(ins.operands[0]), operand(ins.operands[1])
+            regs[ins.dests[0]] = _shift(s, op, a, b)
+        elif op in ("pow", "pow.w"):
+            a = operand(ins.operands[0])
+            cb = _const_literal(ins.operands[1])
+            if cb is None:
+                raise SynthesisUnsupported(f"{op} requires a constant exponent")
+            if a.ty == "field":
+                if cb.ty != "field":
+                    raise SynthesisUnsupported("field pow exponent must be field")
+            elif cb.ty not in ("u8", "u16", "u32"):
+                raise SynthesisUnsupported("integer pow exponent must be u8/u16/u32")
+            regs[ins.dests[0]] = _int_pow(s, op, a, operand(ins.operands[1]),
+                                          cb.val)
+        elif op in ("cast", "cast.lossy"):
+            as_base = ins.as_type.split(".")[0]
+            if as_base in program.structs and not op.endswith("lossy"):
+                st = program.structs[as_base]
+                if len(ins.operands) != len(st.members):
+                    raise SynthesisUnsupported("struct cast arity")
+                members = {}
+                for (mname, mty), tok in zip(st.members.items(),
+                                             ins.operands):
+                    cv = operand(tok)
+                    if cv.ty != mty.split(".")[0]:
+                        raise SynthesisUnsupported(
+                            f"struct member {mname}: {cv.ty} != {mty}")
+                    members[mname] = cv
+                regs[ins.dests[0]] = StructVal(struct=as_base, members=members)
+                continue
+            if as_base in program.records and ins.as_type.endswith(".record"):
+                # record construction: members from operands (decl order)
+                rec = program.records[as_base]
+                if len(ins.operands) != len(rec.members):
+                    raise SynthesisUnsupported("record cast arity")
+                members = {}
+                for (mname, mty), tok in zip(rec.members.items(),
+                                             ins.operands):
+                    cv = operand(tok)
+                    if cv.ty != mty.split(".")[0]:
+                        raise SynthesisUnsupported(
+                            f"record member {mname}: {cv.ty} != {mty}")
+                    members[mname] = cv
+                regs[ins.dests[0]] = RecVal(rec=as_base, members=members)
+                continue
+            if len(ins.operands) != 1:
+                raise SynthesisUnsupported("cast form")
+            cv = operand(ins.operands[0])
+            if isinstance(cv, GroupVal):
+                if as_base != "field":
+                    raise SynthesisUnsupported(f"cast group -> {as_base}")
+                # x-coordinate projection (V.cast framework convention)
+                regs[ins.dests[0]] = CVal("field", dict(cv.x))
+                continue
+            if as_base == "group":
+                # k -> k*G with k reduced mod the subgroup order; every
+                # unsigned/boolean value is already < ORDER
+                if cv.ty == "boolean":
+                    kbits = [cv.lc]
+                elif cv.ty == "scalar":
+                    kbits = _scalar_canon_bits(s, cv)
+                elif _int_like(cv.ty) and not INT_BITS[cv.ty][1]:
+                    kbits = s.int_bits(cv)
+                else:
+                    raise SynthesisUnsupported(f"cast {cv.ty} -> group")
+                from snarkos_tpu.crypto.ref import edwards as _ed
+
+                regs[ins.dests[0]] = _group_scalar_mul(
+                    s, kbits, _group_const(s, _ed.GENERATOR))
+                continue
+            if as_base == "scalar":
+                # checked cast: value must be < the subgroup order; the
+                # result wire is canonical by the same constraints
+                if not (_int_like(cv.ty) and not INT_BITS[cv.ty][1]
+                        and INT_BITS[cv.ty][0] <= 128) and cv.ty != "boolean":
+                    raise SynthesisUnsupported(f"cast {cv.ty} -> scalar")
+                regs[ins.dests[0]] = CVal("scalar", dict(cv.lc))
+                continue
+            regs[ins.dests[0]] = _cast(s, cv,
+                                       ins.as_type, lossy=op.endswith("lossy"))
+        elif op == "hash.psd2":
+            regs[ins.dests[0]] = _hash_psd(s, 2, operand(ins.operands[0]))
+        elif op == "hash.psd4":
+            regs[ins.dests[0]] = _hash_psd(s, 4, operand(ins.operands[0]))
+        elif op == "call":
+            name = ins.operands[0]
+            cl = program.closures.get(name)
+            if cl is None:
+                raise SynthesisUnsupported(f"call target {name!r}")
+            if depth >= _CALL_DEPTH_MAX:
+                raise SynthesisUnsupported("closure call depth exceeded")
+            args = [operand_any(t) for t in ins.operands[1:]]
+            if len(args) != len(cl.inputs):
+                raise SynthesisUnsupported(f"call {name}: input arity")
+            cregs: dict = {}
+            for (reg, ty, *_), av in zip(cl.inputs, args):
+                base = ty.split(".")[0]
+                have = (av.rec if isinstance(av, RecVal)
+                        else av.struct if isinstance(av, StructVal)
+                        else av.ty)
+                if have != base:
+                    raise SynthesisUnsupported(
+                        f"call {name} input {reg}: {have} != {ty}")
+                cregs[reg] = av
+            _exec_body(s, program, caller_cv, cregs, cl.instructions,
+                       depth + 1)
+            _, cl_any = _make_operand(s, program, cregs, caller_cv)
+            outs = [cl_any(tok) for tok, *_ in cl.outputs]
+            if len(outs) != len(ins.dests):
+                raise SynthesisUnsupported(f"call {name}: output arity")
+            for d, ov in zip(ins.dests, outs):
+                regs[d] = ov
+        else:
+            raise SynthesisUnsupported(f"instruction {op!r}")
 
 
 def _synthesize(program: Program, fn: Function, cs: R1CS,
@@ -482,6 +1332,40 @@ def _synthesize(program: Program, fn: Function, cs: R1CS,
             regs[reg] = RecVal(rec=base, members=members)
             input_tys.append(("record", base))
             continue
+        if base in program.structs:
+            # struct input: one wire per (flat) member — PUBLIC structs
+            # take one statement slot per member, PRIVATE structs absorb
+            # every member into C_in
+            st = program.structs[base]
+            members = {}
+            arg = args[i] if z is not None else None
+            for mname, mty in st.members.items():
+                mbase = mty.split(".")[0]
+                if mbase not in CIRCUIT_TYPES:
+                    raise SynthesisUnsupported(f"struct member type {mty!r}")
+                mval = None
+                if z is not None:
+                    mv = arg.val.get(mname)
+                    if mv is None or mv.ty != mty:
+                        raise V.HaltError(f"struct missing member {mname!r}")
+                    mval = value_to_public_field(mv)
+                if vis == "public":
+                    p = cs.public(slot); slot += 1
+                    if z is not None:
+                        z[p] = mval
+                    cv = CVal(mbase, {p: 1})
+                    _constrain_literal(s, cv)
+                    input_tys.append(("public", mbase))
+                else:
+                    w = s.alloc(mval)
+                    cv = CVal(mbase, {w: 1})
+                    _constrain_literal(s, cv)
+                    priv_fields.append(cv.lc)
+                members[mname] = cv
+            if vis != "public":
+                input_tys.append(("private", base))
+            regs[reg] = StructVal(struct=base, members=members)
+            continue
         if base not in CIRCUIT_TYPES:
             raise SynthesisUnsupported(f"input type {ty!r}")
         if vis == "public":
@@ -512,124 +1396,20 @@ def _synthesize(program: Program, fn: Function, cs: R1CS,
     else:
         s.enforce({cin_slot: 1}, {cs.one: 1}, {})  # no private inputs: 0
 
-    def operand(tok: str) -> CVal:
-        if tok in regs and isinstance(regs[tok], RecVal):
-            raise SynthesisUnsupported(f"record {tok!r} used as literal")
-        if tok in regs:
-            return regs[tok]
-        if "." in tok and tok.split(".")[0] in regs:
-            base_reg, *path = tok.split(".")
-            rv = regs[base_reg]
-            if isinstance(rv, RecVal) and len(path) == 1 \
-                    and path[0] in rv.members:
-                return rv.members[path[0]]
-            raise SynthesisUnsupported(f"member access {tok!r}")
-        if tok in ("self.caller", "self.signer"):
-            return caller_cv
-        v = V.parse_literal(tok)
-        if v.ty not in CIRCUIT_TYPES:
-            raise SynthesisUnsupported(f"literal {tok!r}")
-        return CVal(v.ty, {cs.one: value_to_public_field(v)})
-
-    def operand_any(tok: str):
-        """Operand that may be a whole record register."""
-        if tok in regs and isinstance(regs[tok], RecVal):
-            return regs[tok]
-        return operand(tok)
-
-    # -- instructions --------------------------------------------------------
-    for ins in fn.instructions:
-        op = ins.op
-        if op in ("add", "sub", "mul", "div"):
-            a, b = operand(ins.operands[0]), operand(ins.operands[1])
-            regs[ins.dests[0]] = _arith_binary(s, op, a, b)
-        elif op == "square":
-            a = operand(ins.operands[0])
-            regs[ins.dests[0]] = _arith_binary(s, "mul", a, a)
-        elif op == "double":
-            a = operand(ins.operands[0])
-            regs[ins.dests[0]] = _arith_binary(s, "add", a, a)
-        elif op == "neg":
-            a = operand(ins.operands[0])
-            if a.ty != "field":
-                raise SynthesisUnsupported("neg on non-field")
-            regs[ins.dests[0]] = CVal("field", _lc_scale(a.lc, R - 1))
-        elif op == "inv":
-            a = operand(ins.operands[0])
-            one_cv = CVal("field", {cs.one: 1})
-            regs[ins.dests[0]] = _arith_binary(s, "div", one_cv, a)
-        elif op in ("and", "or", "xor", "nand", "nor"):
-            a, b = operand(ins.operands[0]), operand(ins.operands[1])
-            regs[ins.dests[0]] = _logical(s, op, a, b)
-        elif op == "not":
-            a = operand(ins.operands[0])
-            if a.ty != "boolean":
-                raise SynthesisUnsupported("not on non-boolean")
-            regs[ins.dests[0]] = CVal(
-                "boolean", _lc_add({cs.one: 1}, _lc_scale(a.lc, R - 1)))
-        elif op == "ternary":
-            c, a, b = (operand(t) for t in ins.operands)
-            regs[ins.dests[0]] = _ternary(s, c, a, b)
-        elif op in ("is.eq", "is.neq"):
-            a, b = operand(ins.operands[0]), operand(ins.operands[1])
-            d = _lc_add(a.lc, _lc_scale(b.lc, R - 1))
-            zb = s.is_zero(d)
-            if op == "is.neq":
-                zb = _lc_add({cs.one: 1}, _lc_scale(zb, R - 1))
-            regs[ins.dests[0]] = CVal("boolean", zb)
-        elif op in ("assert.eq", "assert.neq"):
-            a, b = operand(ins.operands[0]), operand(ins.operands[1])
-            d = _lc_add(a.lc, _lc_scale(b.lc, R - 1))
-            if op == "assert.eq":
-                if s.z is not None and s.val(d) != 0:
-                    raise V.HaltError("assert.eq failed")
-                s.enforce(d, {cs.one: 1}, {})
-            else:
-                if s.z is not None and s.val(d) == 0:
-                    raise V.HaltError("assert.neq failed")
-                dinv = s.alloc(pow(s.val(d), -1, R) if s.z is not None else None)
-                s.enforce(d, {dinv: 1}, {cs.one: 1})
-        elif op in ("lt", "gt", "lte", "gte",
-                    "is.lt", "is.gt", "is.lte", "is.gte"):
-            a, b = operand(ins.operands[0]), operand(ins.operands[1])
-            base = op.split(".")[-1]
-            if base in ("gte", "lt"):
-                regs[ins.dests[0]] = _compare(s, base, a, b)
-            elif base == "lte":  # a <= b  ==  b >= a
-                regs[ins.dests[0]] = _compare(s, "gte", b, a)
-            else:  # gt: a > b == b < a
-                regs[ins.dests[0]] = _compare(s, "lt", b, a)
-        elif op in ("cast", "cast.lossy"):
-            as_base = ins.as_type.split(".")[0]
-            if as_base in program.records and ins.as_type.endswith(".record"):
-                # record construction: members from operands (decl order)
-                rec = program.records[as_base]
-                if len(ins.operands) != len(rec.members):
-                    raise SynthesisUnsupported("record cast arity")
-                members = {}
-                for (mname, mty), tok in zip(rec.members.items(),
-                                             ins.operands):
-                    cv = operand(tok)
-                    if cv.ty != mty.split(".")[0]:
-                        raise SynthesisUnsupported(
-                            f"record member {mname}: {cv.ty} != {mty}")
-                    members[mname] = cv
-                regs[ins.dests[0]] = RecVal(rec=as_base, members=members)
-                continue
-            if len(ins.operands) != 1 or op.endswith("lossy"):
-                raise SynthesisUnsupported("cast form")
-            regs[ins.dests[0]] = _cast(s, operand(ins.operands[0]), ins.as_type)
-        elif op == "hash.psd2":
-            regs[ins.dests[0]] = _hash_psd2(s, operand(ins.operands[0]))
-        else:
-            raise SynthesisUnsupported(f"instruction {op!r}")
+    # -- instructions (shared dispatch; closures inline recursively) --------
+    _exec_body(s, program, caller_cv, regs, fn.instructions)
+    operand, operand_any = _make_operand(s, program, regs, caller_cv)
 
     # -- bind outputs --------------------------------------------------------
     output_tys, out_slots = [], []
     for tok in fn.finalize_args:
-        cv = operand(tok)
-        output_tys.append(("finalize", cv.ty))
-        out_slots.append(cv)
+        av = operand_any(tok)
+        if isinstance(av, RecVal):
+            raise SynthesisUnsupported(f"record {tok!r} as finalize arg")
+        # structs flatten: one statement slot per (flat) member
+        for cv in _leaf_cvals(av):
+            output_tys.append(("finalize", cv.ty))
+            out_slots.append(cv)
     privout_fields: list = []
     rec_idx = 0
     rec_out_slots: list = []
@@ -650,6 +1430,18 @@ def _synthesize(program: Program, fn: Function, cs: R1CS,
             rec_out_slots.append(("record_out", base, comm))
             output_tys.append(("record_out", base))
             rec_idx += 1
+            continue
+        if base in program.structs:
+            sv = operand_any(tok)
+            if not isinstance(sv, StructVal) or sv.struct != base:
+                raise SynthesisUnsupported(f"output {tok!r} is not a {base}")
+            for cv in _leaf_cvals(sv):
+                if vis == "private":
+                    privout_fields.append(cv.lc)
+                    output_tys.append(("private_out", cv.ty))
+                else:
+                    output_tys.append(("output", cv.ty))
+                    out_slots.append(cv)
             continue
         if base not in CIRCUIT_TYPES:
             raise SynthesisUnsupported(f"output type {ty!r}")
