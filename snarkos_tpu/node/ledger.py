@@ -401,16 +401,26 @@ class Ledger:
         from snarkos_tpu import vm as avm
 
         payload = tx.payload
-        if tx.is_deploy and payload.startswith(b"program "):
+        if tx.is_deploy and _is_program_source(payload):
             source = payload.decode(errors="replace")
             try:
                 prog = avm.parse_program(source)
+                # imports must resolve against programs already on-chain
+                # (or deployed earlier in this block) — reference rejects
+                # deployments with missing imports; here the deploy aborts
+                # (aborted_tx_ids) without rejecting the block
+                if any(dep not in self.parsed_programs
+                       for dep in prog.imports):
+                    self.aborted_tx_ids.add(tx.id.digest)
+                    return
                 if prog.id not in self.programs:
                     self.programs[prog.id] = source
                     self.parsed_programs[prog.id] = prog
                 return
             except avm.ParseError:
                 pass  # legacy raw-source deploy below
+            if not payload.startswith(b"program "):
+                return  # malformed import-prefixed source: ignore
             head, _, src = payload.partition(b"\n")
             program_id = head[len(b"program "):].strip().decode()
             if program_id and program_id not in self.programs:
@@ -435,7 +445,8 @@ class Ledger:
                     sig_tok, args_toks = args_toks[0], args_toks[1:]
             ctx = avm.ExecContext(program=prog, caller=caller,
                                   block_height=block_height,
-                                  tx_seed=tx.id.digest)
+                                  tx_seed=tx.id.digest,
+                                  programs=self.parsed_programs)
             try:
                 # a non-zero caller must prove control of the address: the
                 # reference binds the caller cryptographically inside the
@@ -681,7 +692,7 @@ class Ledger:
                 if tx_openings is None:
                     raise ValueError("invalid transaction in block")
                 openings.extend(tx_openings)
-                if obj.is_deploy and obj.payload.startswith(b"program "):
+                if obj.is_deploy and _is_program_source(obj.payload):
                     from snarkos_tpu import vm as avm
 
                     try:
@@ -900,6 +911,12 @@ def _address_field(addr: str) -> int:
     from snarkos_tpu.vm import circuit as vmc
 
     return vmc.address_field(addr)
+
+
+def _is_program_source(payload: bytes) -> bool:
+    """A deploy payload carrying Aleo-instructions source (optionally
+    preceded by `import <id>;` lines)."""
+    return payload.startswith(b"program ") or payload.startswith(b"import ")
 
 
 def _parse_execute_payload(payload: bytes):
@@ -1134,7 +1151,7 @@ def deployment_vk_check(tx: Transaction) -> bool:
     deployment's verifying keys at admission)."""
     from snarkos_tpu import vm as avm
 
-    if not tx.payload.startswith(b"program "):
+    if not _is_program_source(tx.payload):
         return True  # legacy non-program deploys carry no circuits
     try:
         program = avm.parse_program(tx.payload.decode(errors="replace"))
@@ -1403,7 +1420,7 @@ def create_transaction(payload: bytes, fee: int = 0, key: int | None = None,
         if program is not None:
             exec_proof, exec_outs = prove_execution(payload, fee, key, program,
                                                     private_args=private_args)
-    elif is_deploy and payload.startswith(b"program "):
+    elif is_deploy and _is_program_source(payload):
         from snarkos_tpu import vm as avm
 
         try:

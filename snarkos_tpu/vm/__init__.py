@@ -11,7 +11,8 @@ from snarkos_tpu.vm.interpreter import (ExecContext, ExecuteResult,
                                         FinalizeCall, MappingStore,
                                         execute_finalize, execute_function,
                                         open_record, parse_plaintext,
-                                        record_serial, seal_record)
+                                        program_address, record_serial,
+                                        seal_record)
 from snarkos_tpu.vm.program import ParseError, Program, parse_program
 from snarkos_tpu.vm.values import (HaltError, Value, format_value,
                                    parse_literal, parse_typed)
@@ -20,5 +21,5 @@ __all__ = [
     "ExecContext", "ExecuteResult", "FinalizeCall", "MappingStore",
     "execute_finalize", "execute_function", "ParseError", "Program",
     "parse_program", "HaltError", "Value", "format_value", "parse_literal",
-    "parse_typed",
+    "parse_typed", "program_address",
 ]

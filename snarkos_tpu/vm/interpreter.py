@@ -108,6 +108,10 @@ class ExecContext:
     signer: str | None = None
     block_height: int = 0
     tx_seed: bytes = b"\x00" * 32
+    # registry of on-chain programs for cross-program calls (imports);
+    # None disables them
+    programs: dict | None = None
+    call_depth: int = 0
     _rand_counter: int = 0
 
     def special(self, tok: str) -> Value | None:
@@ -231,12 +235,14 @@ def _run_instruction(ins, frame: _Frame, ctx: ExecContext):
         frame.set(ins.dests[0], Value("field", h))
     elif op == "call":
         name = ins.operands[0]
-        cl = ctx.program.closures.get(name)
-        if cl is None:
-            raise HaltError(f"unknown closure {name!r} (cross-program calls "
-                            "are not supported)")
         args = [_operand(frame, ctx, t) for t in ins.operands[1:]]
-        outs = _run_closure(cl, args, ctx)
+        if "/" in name:
+            outs = _call_external(name, args, ctx)
+        else:
+            cl = ctx.program.closures.get(name)
+            if cl is None:
+                raise HaltError(f"unknown closure {name!r}")
+            outs = _run_closure(cl, args, ctx)
         if len(outs) != len(ins.dests):
             raise HaltError(f"call {name}: {len(outs)} outputs, "
                             f"{len(ins.dests)} destinations")
@@ -254,6 +260,53 @@ def _bind_inputs(frame: _Frame, declared, args, what: str):
         if ty in V.LITERAL_TYPES and v.ty != ty:
             raise HaltError(f"{what} input {reg}: {v.ty} != {ty}")
         frame.set(reg, v)
+
+
+_CALL_DEPTH_MAX = 8
+
+
+def program_address(program_id: str) -> str:
+    """The deterministic address a program acts under when IT is the
+    caller of a cross-program call (reference: snarkVM program addresses;
+    `self.caller` in the callee is the calling program, `self.signer`
+    stays the top-level account).  Derived from the program id, so no
+    account can sign for it."""
+    h = hashlib.sha256(b"snarkos_tpu.vm.progaddr" + program_id.encode())
+    return "aleo1" + h.digest().hex()
+
+
+def _call_external(name: str, args, ctx: ExecContext):
+    """Cross-program call ``call <pid>/<fn> ...`` (requires ``import
+    <pid>`` and the callee on-chain).  Supported callee shape: literal
+    (non-record, non-struct) inputs and outputs and NO finalize block —
+    the library-program pattern; richer compositions (record transfers,
+    future composition) stay unsupported and halt."""
+    pid, _, fname = name.partition("/")
+    if pid not in ctx.program.imports:
+        raise HaltError(f"call {name!r}: program {pid!r} is not imported")
+    callee = (ctx.programs or {}).get(pid)
+    if callee is None:
+        raise HaltError(f"call {name!r}: imported program is not on-chain")
+    fn = callee.functions.get(fname)
+    if fn is None:
+        raise HaltError(f"call {name!r}: no such function")
+    if ctx.call_depth >= _CALL_DEPTH_MAX:
+        raise HaltError("cross-program call depth exceeded")
+    if fn.finalize_name is not None:
+        raise HaltError(f"call {name!r}: callee finalize (future "
+                        "composition) is not supported")
+    for _r, ty, *_ in fn.inputs:
+        if ty not in V.LITERAL_TYPES:
+            raise HaltError(f"call {name!r}: non-literal input type {ty!r}")
+    sub = ExecContext(program=callee, caller=program_address(ctx.program.id),
+                      signer=ctx.signer or ctx.caller,
+                      block_height=ctx.block_height, tx_seed=ctx.tx_seed,
+                      programs=ctx.programs, call_depth=ctx.call_depth + 1)
+    res = execute_function(callee, fname, args, sub)
+    for v in res.outputs:
+        if v.ty not in V.LITERAL_TYPES:
+            raise HaltError(f"call {name!r}: non-literal output {v.ty!r}")
+    return list(res.outputs)
 
 
 def _run_closure(cl: Closure, args, ctx: ExecContext):

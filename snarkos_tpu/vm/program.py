@@ -28,9 +28,11 @@ same surface grammar for the supported subset:
         input r0 as <type>.public;
         <instructions + mapping ops + branch/position>
 
-Unsupported snarkVM features (imports/cross-program calls,
-signatures-in-programs) are rejected with a clear ParseError rather than
-silently accepted.
+Imports (`import <id>;` before the header) and cross-program calls
+(`call <id>/<fn> ...`) are supported for library-shaped callees
+(vm/interpreter._call_external); other unsupported snarkVM features
+(signatures-in-programs) are rejected with a clear ParseError rather
+than silently accepted.
 """
 
 from __future__ import annotations
@@ -135,6 +137,7 @@ class Program:
     closures: dict = field(default_factory=dict)
     functions: dict = field(default_factory=dict)
     finalizes: dict = field(default_factory=dict)
+    imports: list = field(default_factory=list)  # imported program ids
     source: str = ""
 
 
@@ -243,9 +246,23 @@ def parse_program(source: str) -> Program:
     lines = [(i + 1, l) for i, l in enumerate(lines) if l]
     if not lines:
         raise ParseError("empty program")
+    # import declarations precede the program header (snarkVM layout:
+    # `import credits.aleo;` — the imported program must exist on-chain
+    # at deploy time, node/ledger.py enforces it)
+    imports = []
+    while lines and lines[0][1].startswith("import "):
+        no, l = lines.pop(0)
+        dep = l[len("import "):].strip()
+        if not _ID_RE.match(dep):
+            raise ParseError(f"line {no}: bad import id {dep!r}")
+        if dep in imports:
+            raise ParseError(f"line {no}: duplicate import {dep!r}")
+        imports.append(dep)
+    if not lines:
+        raise ParseError("empty program")
     for no, l in lines:
         if l.startswith("import"):
-            raise ParseError(f"line {no}: 'import' not supported")
+            raise ParseError(f"line {no}: 'import' must precede the header")
 
     no, head = lines[0]
     if not head.startswith("program "):
@@ -253,7 +270,9 @@ def parse_program(source: str) -> Program:
     pid = head[len("program "):].strip()
     if not _ID_RE.match(pid):
         raise ParseError(f"bad program id {pid!r}")
-    prog = Program(id=pid, source=source)
+    if pid in imports:
+        raise ParseError("program cannot import itself")
+    prog = Program(id=pid, imports=imports, source=source)
 
     ctx = None  # current block object
     kind = None
