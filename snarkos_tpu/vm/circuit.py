@@ -57,9 +57,10 @@ snarkVM's synthesizer compiles every deployed function):
   canonical-bit double-and-add ladder, casts from uints/scalars) and
   canonical scalar wires,
 - hash.psd2 / hash.psd4 on field operands.
-Still outside: group-typed function I/O, dynamic pow exponents, 128-bit
-mul/div/shift products (exceed the field), non-psd hashes (byte-string
-encodings), cross-program calls.  Such functions raise
+Still outside: group-typed function I/O, dynamic CHECKED pow exponents
+(pow.w with dynamic exponents IS provable), 128-bit mul/div/shift
+products (exceed the field), non-psd hashes (byte-string encodings),
+cross-program calls.  Such functions raise
 ``SynthesisUnsupported`` and remain enforced by public re-execution
 (node/ledger.py), exactly as before.
 """
@@ -1153,16 +1154,31 @@ def _exec_body(s: _Synth, program: Program, caller_cv: CVal, regs: dict,
             regs[ins.dests[0]] = _shift(s, op, a, b)
         elif op in ("pow", "pow.w"):
             a = operand(ins.operands[0])
+            b = operand(ins.operands[1])
             cb = _const_literal(ins.operands[1])
             if cb is None:
-                raise SynthesisUnsupported(f"{op} requires a constant exponent")
+                # dynamic exponent: only pow.w is provable (wrapped
+                # square-and-multiply over the exponent's bits; checked
+                # pow needs the EXACT integer a^e, unbounded)
+                if op != "pow.w" or not _int_like(a.ty) \
+                        or b.ty not in ("u8", "u16", "u32"):
+                    raise SynthesisUnsupported(
+                        f"{op} requires a constant exponent")
+                ebits = s.int_bits(b)
+                out = CVal(a.ty, {s.cs.one: 1})
+                for eb in reversed(ebits):
+                    out = _arith_binary(s, "mul.w", out, out)
+                    mul_a = _arith_binary(s, "mul.w", out, a)
+                    sel = _ternary(s, CVal("boolean", eb), mul_a, out)
+                    out = CVal(a.ty, sel.lc)
+                regs[ins.dests[0]] = out
+                continue
             if a.ty == "field":
                 if cb.ty != "field":
                     raise SynthesisUnsupported("field pow exponent must be field")
             elif cb.ty not in ("u8", "u16", "u32"):
                 raise SynthesisUnsupported("integer pow exponent must be u8/u16/u32")
-            regs[ins.dests[0]] = _int_pow(s, op, a, operand(ins.operands[1]),
-                                          cb.val)
+            regs[ins.dests[0]] = _int_pow(s, op, a, b, cb.val)
         elif op in ("cast", "cast.lossy"):
             as_base = ins.as_type.split(".")[0]
             if as_base in program.structs and not op.endswith("lossy"):

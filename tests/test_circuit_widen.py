@@ -188,6 +188,19 @@ function g:
         interp, circ = run_both(src, "g", [V.Value("field", 1234567)])
         assert interp == circ == [pow(1234567, 65537, R)]
 
+    def test_dynamic_pow_wrapped(self):
+        src = """program dpw.aleo;
+function g:
+    input r0 as u16.public;
+    input r1 as u8.public;
+    pow.w r0 r1 into r2;
+    output r2 as u16.public;
+"""
+        for x, e in ((3, 7), (65535, 3), (0, 0), (7, 255)):
+            interp, circ = run_both(src, "g",
+                                    [V.Value("u16", x), V.Value("u8", e)])
+            assert interp == circ, (x, e)
+
     def test_dynamic_pow_unsupported(self):
         src = """program dpow.aleo;
 function g:
