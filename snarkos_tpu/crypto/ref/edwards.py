@@ -36,6 +36,21 @@ def on_curve(p) -> bool:
     return (-x * x + y * y - 1 - D * x * x % R * y % R * y) % R == 0
 
 
+def in_subgroup(p) -> bool:
+    """Prime-order-subgroup membership (cofactor 4): ORDER * p == O.
+    Host-side validation for group values entering proof statements.
+    (scalar_mul reduces its scalar mod ORDER, so the ladder is inlined
+    unreduced here.)"""
+    if not on_curve(p):
+        return False
+    acc = IDENTITY
+    for bit in bin(ORDER)[2:]:
+        acc = add(acc, acc)
+        if bit == "1":
+            acc = add(acc, p)
+    return acc == IDENTITY
+
+
 def add(p, q):
     x1, y1 = p
     x2, y2 = q

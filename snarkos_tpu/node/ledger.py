@@ -1004,7 +1004,15 @@ def _parse_payload_value(program, tok: str, ty: str):
         text = bytes.fromhex(tok[len("plain:"):]).decode()
         members = avm.parse_plaintext(text, program.structs[ty].members)
         return avm.Value(ty, members)
-    return avm.parse_typed(tok, ty)
+    v = avm.parse_typed(tok, ty)
+    if ty == "group":
+        # statement-entering points must be in the prime-order subgroup
+        # (decompress only guarantees on-curve; cofactor 4)
+        from snarkos_tpu.crypto.ref import edwards as _ed
+
+        if not _ed.in_subgroup(v.val):
+            raise avm.HaltError("group value outside the prime subgroup")
+    return v
 
 
 def _format_payload_value(program, v) -> str:

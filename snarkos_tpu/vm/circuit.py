@@ -56,11 +56,13 @@ snarkVM's synthesizer compiles every deployed function):
 - Edwards group ops (complete-law add/sub/double/neg, scalar mul via a
   canonical-bit double-and-add ladder, casts from uints/scalars) and
   canonical scalar wires,
+- PUBLIC group-typed inputs/outputs (two slots (x, y), on-curve enforced
+  in-circuit, prime-subgroup membership validated host-side at parse),
 - hash.psd2 / hash.psd4 on field operands.
-Still outside: group-typed function I/O, dynamic CHECKED pow exponents
-(pow.w with dynamic exponents IS provable), 128-bit mul/div/shift
-products (exceed the field), non-psd hashes (byte-string encodings),
-cross-program calls.  Such functions raise
+Still outside: private/record group values, dynamic CHECKED pow
+exponents (pow.w with dynamic exponents IS provable), 128-bit
+mul/div/shift products (exceed the field), non-psd hashes (byte-string
+encodings), cross-program calls.  Such functions raise
 ``SynthesisUnsupported`` and remain enforced by public re-execution
 (node/ledger.py), exactly as before.
 """
@@ -224,8 +226,11 @@ def value_to_public_field(v: V.Value) -> int:
 
 def value_leaf_fields(v: V.Value) -> list:
     """Flattened field encoding: structs yield one field per member (in
-    declaration order), leaves yield one field (value_to_public_field).
-    Mirrors the circuit's one-statement-slot-per-leaf layout."""
+    declaration order), group points yield [x, y], other leaves one
+    field (value_to_public_field).  Mirrors the circuit's
+    one-statement-slot-per-leaf layout."""
+    if v.ty == "group":
+        return [v.val[0] % R, v.val[1] % R]
     if isinstance(v.val, dict) and v.ty not in CIRCUIT_TYPES:
         out = []
         for m in v.val.values():
@@ -902,7 +907,10 @@ def _make_operand(s: _Synth, program: Program, regs: dict, caller_cv: CVal):
 
 
 def _leaf_cvals(v) -> list:
-    """Flatten a circuit value to its leaf CVals (declaration order)."""
+    """Flatten a circuit value to its leaf CVals (declaration order);
+    group points expand to their (x, y) coordinate fields."""
+    if isinstance(v, GroupVal):
+        return [CVal("field", dict(v.x)), CVal("field", dict(v.y))]
     if isinstance(v, (RecVal, StructVal)):
         out = []
         for m in v.members.values():
@@ -1348,6 +1356,35 @@ def _synthesize(program: Program, fn: Function, cs: R1CS,
             regs[reg] = RecVal(rec=base, members=members)
             input_tys.append(("record", base))
             continue
+        if base == "group":
+            # group input: PUBLIC only — two statement slots (x, y) with
+            # an in-circuit on-curve constraint; prime-subgroup
+            # membership is validated host-side at parse
+            # (edwards.in_subgroup via node/ledger._parse_payload_value)
+            if vis != "public":
+                raise SynthesisUnsupported("private group inputs")
+            from snarkos_tpu.crypto.ref import edwards as _ed
+
+            px = cs.public(slot); slot += 1
+            py = cs.public(slot); slot += 1
+            if z is not None:
+                if args[i].ty != "group":
+                    raise V.HaltError(f"input {i}: expected group")
+                z[px], z[py] = args[i].val[0] % R, args[i].val[1] % R
+            gv = GroupVal(x={px: 1}, y={py: 1})
+            # -x^2 + y^2 = 1 + d x^2 y^2
+            x2 = s.mul(gv.x, gv.x)
+            y2 = s.mul(gv.y, gv.y)
+            x2y2 = s.mul(x2, y2)
+            s.enforce(
+                _lc_add(_lc_add(_lc_scale(x2, R - 1), y2),
+                        _lc_add({cs.one: R - 1},
+                                _lc_scale(x2y2, (R - _ed.D) % R))),
+                {cs.one: 1}, {})
+            regs[reg] = gv
+            input_tys.append(("public", "field"))
+            input_tys.append(("public", "field"))
+            continue
         if base in program.structs:
             # struct input: one wire per (flat) member — PUBLIC structs
             # take one statement slot per member, PRIVATE structs absorb
@@ -1446,6 +1483,18 @@ def _synthesize(program: Program, fn: Function, cs: R1CS,
             rec_out_slots.append(("record_out", base, comm))
             output_tys.append(("record_out", base))
             rec_idx += 1
+            continue
+        if base == "group":
+            gv = operand_any(tok)
+            if not isinstance(gv, GroupVal):
+                raise SynthesisUnsupported(f"output {tok!r} is not a group")
+            for cv in _leaf_cvals(gv):
+                if vis == "private":
+                    privout_fields.append(cv.lc)
+                    output_tys.append(("private_out", "field"))
+                else:
+                    output_tys.append(("output", "field"))
+                    out_slots.append(cv)
             continue
         if base in program.structs:
             sv = operand_any(tok)

@@ -442,16 +442,49 @@ class TestGroupOps:
         _, z, publics = C.trace_execution(prog, "ped", args, 0, b"s")
         assert circ.cs.is_satisfied(z)
 
-    def test_group_eq_and_cast_restrictions(self):
-        src = """program gbad.aleo;
+    def test_public_group_io(self):
+        """PUBLIC group inputs/outputs: two statement slots (x, y) with an
+        in-circuit on-curve constraint; subgroup membership is enforced
+        host-side (edwards.in_subgroup at payload parse)."""
+        from snarkos_tpu.crypto.ref import edwards
+        src = """program gio.aleo;
 function g:
     input r0 as group.public;
     double r0 into r1;
     output r1 as group.public;
 """
+        P = edwards.scalar_mul(11, edwards.GENERATOR)
+        interp, circ = run_both(src, "g", [V.Value("group", P)])
+        assert interp == circ
+        assert circ == list(edwards.add(P, P))
+
+    def test_private_group_input_unsupported(self):
+        src = """program gprv.aleo;
+function g:
+    input r0 as group.private;
+    double r0 into r1;
+    cast r1 into r2 as field;
+    output r2 as field.public;
+"""
         prog = avm.parse_program(src)
         with pytest.raises(C.SynthesisUnsupported):
-            C.compile_function(prog, "g")  # group I/O stays unsupported
+            C.compile_function(prog, "g")
+
+    def test_small_order_point_rejected_at_parse(self):
+        from snarkos_tpu.crypto.ref import edwards
+        from snarkos_tpu.node import ledger as L
+        prog = avm.parse_program("""program gio2.aleo;
+function f:
+    input r0 as group.public;
+    output r0 as group.public;
+""")
+        bad = (0, (edwards.R - 1) % edwards.R)  # order-2 point
+        assert edwards.on_curve(bad) and not edwards.in_subgroup(bad)
+        tok = edwards.compress(bad).hex() + "group"
+        with pytest.raises(V.HaltError):
+            L._parse_payload_value(prog, tok, "group")
+        good = edwards.compress(edwards.GENERATOR).hex() + "group"
+        assert L._parse_payload_value(prog, good, "group").ty == "group"
 
 
 class TestSoundness:
