@@ -56,13 +56,15 @@ snarkVM's synthesizer compiles every deployed function):
 - Edwards group ops (complete-law add/sub/double/neg, scalar mul via a
   canonical-bit double-and-add ladder, casts from uints/scalars) and
   canonical scalar wires,
-- PUBLIC group-typed inputs/outputs (two slots (x, y), on-curve enforced
-  in-circuit, prime-subgroup membership validated host-side at parse),
+- group-typed inputs/outputs: PUBLIC points take two slots (x, y) with
+  on-curve enforced in-circuit and prime-subgroup membership validated
+  host-side at parse; PRIVATE points and record group members are
+  witness points with the full in-circuit subgroup ladder,
 - hash.psd2 / hash.psd4 on field operands.
-Still outside: private/record group values, dynamic CHECKED pow
-exponents (pow.w with dynamic exponents IS provable), 128-bit
-mul/div/shift products (exceed the field), non-psd hashes (byte-string
-encodings), cross-program calls.  Such functions raise
+Still outside: dynamic CHECKED pow exponents (pow.w with dynamic
+exponents IS provable), 128-bit mul/div/shift products (exceed the
+field), non-psd hashes (byte-string encodings), cross-program calls,
+group members inside structs.  Such functions raise
 ``SynthesisUnsupported`` and remain enforced by public re-execution
 (node/ledger.py), exactly as before.
 """
@@ -253,7 +255,7 @@ def record_serial_field(program_id: str, record_name: str, v: V.Value) -> int:
     wraps this for the ledger's byte-keyed spent set)."""
     fields = [record_id(program_id, record_name)]
     for m in v.val.values():
-        fields.append(value_to_public_field(m))
+        fields.extend(value_leaf_fields(m))
     return poseidon.hash1(fields, rate=2, domain=SERIAL_DOMAIN)
 
 
@@ -661,6 +663,39 @@ def _group_scalar_mul(s: _Synth, kbits: list, p: GroupVal) -> GroupVal:
     return acc
 
 
+def _witness_group(s: _Synth, pt) -> GroupVal:
+    """A PRIVATE (witness) Edwards point: allocate (x, y), enforce the
+    on-curve equation and prime-subgroup membership in-circuit (a
+    constant-bit ORDER ladder — cofactor-4 small-order points would
+    otherwise satisfy the curve equation).  ``pt`` is the concrete
+    (x, y) in trace mode, None in compile mode."""
+    from snarkos_tpu.crypto.ref import edwards as _ed
+
+    if s.z is not None:
+        if not _ed.in_subgroup(pt):
+            raise V.HaltError("witness point outside the prime subgroup")
+        xv, yv = pt[0] % R, pt[1] % R
+    else:
+        xv = yv = None
+    x, y = s.alloc(xv), s.alloc(yv)
+    gv = GroupVal(x={x: 1}, y={y: 1})
+    x2 = s.mul(gv.x, gv.x)
+    y2 = s.mul(gv.y, gv.y)
+    x2y2 = s.mul(x2, y2)
+    s.enforce(
+        _lc_add(_lc_add(_lc_scale(x2, R - 1), y2),
+                _lc_add({s.cs.one: R - 1}, _lc_scale(x2y2, (R - _ed.D) % R))),
+        {s.cs.one: 1}, {})
+    acc = _group_const(s, (0, 1))
+    for bit in bin(_ed.ORDER)[2:]:
+        acc = _group_add(s, acc, acc)
+        if bit == "1":
+            acc = _group_add(s, acc, gv)
+    s.enforce(acc.x, {s.cs.one: 1}, {})
+    s.enforce(_lc_add(acc.y, {s.cs.one: R - 1}), {s.cs.one: 1}, {})
+    return gv
+
+
 def _scalar_canon_bits(s: _Synth, cv: CVal) -> list:
     """Canonical bit decomposition of a scalar wire: value < subgroup
     order (soundness: two decompositions of the same field residue would
@@ -1065,7 +1100,9 @@ def _exec_body(s: _Synth, program: Program, caller_cv: CVal, regs: dict,
                 if not _same_composite(va, vb):
                     raise SynthesisUnsupported("ternary on mixed composites")
                 members = {
-                    m: _ternary(s, c, va.members[m], vb.members[m])
+                    m: (_group_mux(s, c.lc, va.members[m], vb.members[m])
+                        if isinstance(va.members[m], GroupVal)
+                        else _ternary(s, c, va.members[m], vb.members[m]))
                     for m in va.members
                 }
                 regs[ins.dests[0]] = (
@@ -1212,7 +1249,12 @@ def _exec_body(s: _Synth, program: Program, caller_cv: CVal, regs: dict,
                 for (mname, mty), tok in zip(rec.members.items(),
                                              ins.operands):
                     cv = operand(tok)
-                    if cv.ty != mty.split(".")[0]:
+                    mb = mty.split(".")[0]
+                    if isinstance(cv, GroupVal):
+                        if mb != "group":
+                            raise SynthesisUnsupported(
+                                f"record member {mname}: group != {mty}")
+                    elif cv.ty != mb:
                         raise SynthesisUnsupported(
                             f"record member {mname}: {cv.ty} != {mty}")
                     members[mname] = cv
@@ -1322,6 +1364,18 @@ def _synthesize(program: Program, fn: Function, cs: R1CS,
             arg = args[i] if z is not None else None
             for mname, mty in rec.members.items():
                 mbase = mty.split(".")[0]
+                if mbase == "group":
+                    mv = None
+                    if z is not None:
+                        mv = arg.val.get(mname)
+                        if mv is None or mv.ty != "group":
+                            raise V.HaltError(
+                                f"record missing member {mname!r}")
+                        mv = mv.val
+                    gv = _witness_group(s, mv)
+                    members[mname] = gv
+                    priv_fields.extend([gv.x, gv.y])
+                    continue
                 if mbase not in CIRCUIT_TYPES:
                     raise SynthesisUnsupported(
                         f"record member type {mty!r}")
@@ -1347,9 +1401,11 @@ def _synthesize(program: Program, fn: Function, cs: R1CS,
             # tag is PUBLIC while the plaintext stays hidden
             serial_slot = cs.public(slot); slot += 1
             rid = record_id(program.id, base)
+            member_lcs = []
+            for m in rec.members:
+                member_lcs.extend(cv.lc for cv in _leaf_cvals(members[m]))
             ser = s.sponge_hash1(
-                SERIAL_DOMAIN,
-                [{cs.one: rid}] + [members[m].lc for m in rec.members])
+                SERIAL_DOMAIN, [{cs.one: rid}] + member_lcs)
             s.enforce(_lc_add(ser, {serial_slot: R - 1}), {cs.one: 1}, {})
             if z is not None:
                 z[serial_slot] = s.val(ser)
@@ -1357,12 +1413,22 @@ def _synthesize(program: Program, fn: Function, cs: R1CS,
             input_tys.append(("record", base))
             continue
         if base == "group":
-            # group input: PUBLIC only — two statement slots (x, y) with
-            # an in-circuit on-curve constraint; prime-subgroup
-            # membership is validated host-side at parse
-            # (edwards.in_subgroup via node/ledger._parse_payload_value)
+            # group input: PUBLIC takes two statement slots (x, y) with
+            # an in-circuit on-curve constraint (prime-subgroup
+            # membership validated host-side at parse, node/ledger
+            # _parse_payload_value); PRIVATE is a witness point with the
+            # full in-circuit subgroup ladder, absorbed into C_in
             if vis != "public":
-                raise SynthesisUnsupported("private group inputs")
+                pt = None
+                if z is not None:
+                    if args[i].ty != "group":
+                        raise V.HaltError(f"input {i}: expected group")
+                    pt = args[i].val
+                gv = _witness_group(s, pt)
+                priv_fields.extend([gv.x, gv.y])
+                regs[reg] = gv
+                input_tys.append(("private", "group"))
+                continue
             from snarkos_tpu.crypto.ref import edwards as _ed
 
             px = cs.public(slot); slot += 1
@@ -1478,7 +1544,9 @@ def _synthesize(program: Program, fn: Function, cs: R1CS,
             if not isinstance(rv, RecVal) or rv.rec != base:
                 raise SynthesisUnsupported(f"output {tok!r} is not a {base}")
             blind_w = s.alloc(blinds[1][rec_idx] if z is not None else None)
-            fields = [rv.members[m].lc for m in program.records[base].members]
+            fields = []
+            for m in program.records[base].members:
+                fields.extend(cv.lc for cv in _leaf_cvals(rv.members[m]))
             comm = s.sponge_hash1(RECOUT_DOMAIN, fields + [{blind_w: 1}])
             rec_out_slots.append(("record_out", base, comm))
             output_tys.append(("record_out", base))

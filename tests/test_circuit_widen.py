@@ -458,7 +458,11 @@ function g:
         assert interp == circ
         assert circ == list(edwards.add(P, P))
 
-    def test_private_group_input_unsupported(self):
+    def test_private_group_input_is_witness(self):
+        """PRIVATE group inputs are witness points: in-circuit on-curve +
+        subgroup ladder, absorbed into C_in; nothing about the point
+        reaches the statement beyond the commitment."""
+        from snarkos_tpu.crypto.ref import edwards
         src = """program gprv.aleo;
 function g:
     input r0 as group.private;
@@ -467,8 +471,49 @@ function g:
     output r2 as field.public;
 """
         prog = avm.parse_program(src)
-        with pytest.raises(C.SynthesisUnsupported):
-            C.compile_function(prog, "g")
+        circ = C.compile_function(prog, "g")
+        assert circ.input_tys == [("private", "group")]
+        P = edwards.scalar_mul(13, edwards.GENERATOR)
+        circ2, z, pubs = C.trace_execution(prog, "g",
+                                           [V.Value("group", P)], 0, b"s")
+        assert circ2.cs.is_satisfied(z)
+        sp = C.statement_parts(circ2, pubs)
+        assert sp["public_inputs"] == []
+        assert sp["outputs"] == [edwards.add(P, P)[0]]
+        # small-order witness halts (subgroup ladder unsatisfiable)
+        bad = V.Value("group", (0, (edwards.R - 1) % edwards.R))
+        with pytest.raises(V.HaltError):
+            C.trace_execution(prog, "g", [bad], 0, b"s")
+
+    def test_record_group_member(self):
+        """Records may carry group members: witness points inside the
+        serial/commitment flatten (x, y per point)."""
+        from snarkos_tpu.crypto.ref import edwards
+        src = """program grrec.aleo;
+
+record token:
+    owner as address;
+    tag as group;
+
+function touch:
+    input r0 as token.record;
+    input r1 as group.private;
+    add r0.tag r1 into r2;
+    cast r0.owner r2 into r3 as token.record;
+    output r3 as token.record;
+"""
+        prog = avm.parse_program(src)
+        owner = "aleo1" + "2" * 64
+        T = edwards.scalar_mul(42, edwards.GENERATOR)
+        rec = V.Value("token", {"owner": V.Value("address", owner),
+                                "tag": V.Value("group", T)})
+        args = [rec, V.Value("group", edwards.GENERATOR)]
+        cf = C.address_field(owner)
+        circ, z, pubs = C.trace_execution(prog, "touch", args, cf, b"s")
+        assert circ.cs.is_satisfied(z)
+        sp = C.statement_parts(circ, pubs)
+        assert sp["serials"][0] == C.record_serial_field(prog.id, "token", rec)
+        assert len(sp["rec_comms"]) == 1
 
     def test_small_order_point_rejected_at_parse(self):
         from snarkos_tpu.crypto.ref import edwards

@@ -87,21 +87,50 @@ def test_cli_decrypt_wrong_key_fails(capsys):
 
 
 def test_cli_transfer_private_creates_owned_record(capsys):
+    """developer transfer-private (r5 real-record surface): the emitted
+    transaction's sealed record-output ciphertext must decrypt for the
+    RECIPIENT to a credits record of the transferred amount (the wire
+    carries only serial + commitments — test_zk_privacy covers hiding;
+    this covers recipient ownership end-to-end through the CLI)."""
+    from snarkos_tpu import vm as avm
+    from snarkos_tpu.node import ledger as L
     from snarkos_tpu.node.cli import main
     from snarkos_tpu.node.types import Reader, Transaction, point_to_address
+    from snarkos_tpu.vm import values as V
 
+    seed = "cli-rec-test"
+    sender = edwards.Account.new(seed=hashlib.sha256(seed.encode()).digest())
     recipient = edwards.Account.new(seed=hashlib.sha256(b"bob").digest())
-    rc = main(["developer", "transfer-private",
-               "--recipient", point_to_address(recipient.pk),
-               "--payload", "10 credits"])
+    rcpt_addr = point_to_address(recipient.pk)
+    rec = V.Value("credits", {
+        "owner": V.Value("address", point_to_address(sender.pk)),
+        "microcredits": V.Value("u64", 5000),
+    })
+    ct = avm.seal_record("credits.aleo", "credits", rec)
+    rc = main(["developer", "transfer-private", "--seed", seed,
+               "--record", ct.hex(), "--recipient", rcpt_addr,
+               "--amount", "10"])
     assert rc == 0
     out = capsys.readouterr().out
     tx_hex = out.strip().splitlines()[-1]
     tx = Transaction.from_reader(Reader(bytes.fromhex(tx_hex)))
-    assert tx.payload.startswith(b"record1")
-    plain = records.decrypt(recipient.sk, tx.payload[7:])
-    assert plain == b"10 credits"
-    # and the tx itself carries a valid KZG opening
-    from snarkos_tpu.node.ledger import verify_transaction
-
-    assert verify_transaction(tx)
+    # the recipient can open their sealed output record
+    recct_toks = [t for t in tx.exec_outs.decode().split()
+                  if t.startswith("recct:")]
+    assert recct_toks, "no sealed record outputs on the wire"
+    opened = []
+    for t in recct_toks:
+        try:
+            name, val = avm.open_record(
+                recipient.sk, bytes.fromhex(t[len("recct:"):]),
+                L.credits_program())
+            opened.append((name, val))
+        except ValueError:
+            continue  # the sender's change record
+    assert len(opened) == 1
+    name, val = opened[0]
+    assert name == "credits"
+    assert val.val["owner"].val == rcpt_addr
+    assert val.val["microcredits"].val == 10
+    # and the tx itself fully verifies (auth + execution proof + pairings)
+    assert L.verify_transaction(tx)
