@@ -570,6 +570,13 @@ class Ledger:
             return self.state_tree.mapping_path(program, mapping, key,
                                                 at_height)
 
+    def mapping_history(self, height: int, mapping: str):
+        """Mapping content as of a historical height (None outside the
+        retained snapshot window) — reference GET
+        /block/{h}/history/{mapping} (rest/src/routes.rs:453-464)."""
+        with self.lock:
+            return self.state_tree.mapping_history(height, mapping)
+
     # -- queries -------------------------------------------------------------
     @property
     def latest_block(self) -> Block:

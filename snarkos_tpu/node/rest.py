@@ -218,6 +218,14 @@ class Rest:
                 return 200, ledger.latest_round
             case ["block", "latest"]:
                 return 200, _block_json(ledger.latest_block)
+            case ["block", h, "history", mapping] if h.isdigit():
+                # mapping content at a historical height (reference
+                # routes.rs:453-464, "history" feature)
+                hist = ledger.mapping_history(int(h), mapping)
+                if hist is None:
+                    return 404, {"error": "height outside the retained "
+                                          "mapping-history window"}
+                return 200, hist
             case ["block", spec, "transactions"]:
                 block = self._block_by_spec(ledger, spec)
                 if block is None:

@@ -157,6 +157,17 @@ class StateTree:
         h = len(self.state_roots) - 1
         return self._entries_by_height.get(h, [])
 
+    def mapping_history(self, height: int, mapping: str):
+        """The full content of every mapping named ``mapping`` as of
+        ``height`` (reference: GET /block/{h}/history/{mapping},
+        rest/src/routes.rs:453-464 behind the "history" feature), or
+        None when the snapshot is outside the retained window."""
+        entries = self._entries_by_height.get(height)
+        if entries is None:
+            return None
+        return [{"program": p, "key": k, "value": v}
+                for (p, m, k, v) in entries if m == mapping]
+
     def append_block(self, block, mappings: dict) -> bytes:
         tx_root = merkle_root([tx_leaf(t.id.digest) for t in block.transmissions])
         self.tx_roots.append(tx_root)

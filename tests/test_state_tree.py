@@ -167,6 +167,17 @@ class TestRestRoutes:
         assert code == 200 and st.verify_mapping_path(mproof)
         code, _ = get(["stateRoot", "99"])
         assert code == 404
+        # mapping history at a past height (reference GET
+        # /block/{h}/history/{mapping}, routes.rs:453-464)
+        code, hist2 = get(["block", "2", "history", "account"])
+        code5, hist5 = get(["block", "5", "history", "account"])
+        assert code == 200 and code5 == 200
+        keys2 = {e["key"] for e in hist2 if e["program"] == "credits.aleo"}
+        keys5 = {e["key"] for e in hist5 if e["program"] == "credits.aleo"}
+        assert "addr1" in keys2 and "addr4" not in keys2
+        assert "addr4" in keys5  # later entries absent from the older view
+        code, _ = get(["block", "999", "history", "account"])
+        assert code == 404
 
 
 class TestHistoricalStatePaths:
