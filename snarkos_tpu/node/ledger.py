@@ -512,7 +512,10 @@ class Ledger:
                         serials.append(serial)
                         args.append(val)
                     else:
-                        args.append(avm.parse_typed(t, ty))
+                        # same parser as the SNARK path: plain:<hex>
+                        # structs and the group subgroup gate apply to
+                        # re-executed functions too
+                        args.append(_parse_payload_value(prog, t, ty))
                 result = avm.execute_function(prog, fn_name, args, ctx)
                 if result.finalize is not None:
                     store = avm.MappingStore(self.mappings)

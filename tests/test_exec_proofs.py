@@ -90,18 +90,29 @@ function boom:
             C.trace_execution(prog, "boom", [V.Value("u64", 2**63 + 5)], 0)
 
     def test_unsupported_falls_out(self, math_prog):
-        # group arithmetic is outside the provable subset (records ARE
-        # provable since r5 — vm/circuit.py record support)
-        src = """program grpy.aleo;
+        # byte-string hashes stay outside the provable subset (group
+        # arithmetic, records, signed ints etc. ARE provable since r5 —
+        # vm/circuit.py module docstring lists the remaining exclusions)
+        src = """program bhpy.aleo;
 
-function gmul:
-    input r0 as group.public;
-    double r0 into r1;
-    output r1 as group.public;
+function h:
+    input r0 as field.public;
+    hash.bhp256 r0 into r1;
+    output r1 as field.public;
 """
         prog = avm.parse_program(src)
         with pytest.raises(C.SynthesisUnsupported):
-            C.compile_function(prog, "gmul")
+            C.compile_function(prog, "h")
+        # 128-bit mul products exceed the field: also unprovable
+        src2 = """program wide.aleo;
+
+function m:
+    input r0 as u128.public;
+    mul r0 r0 into r1;
+    output r1 as u128.public;
+"""
+        with pytest.raises(C.SynthesisUnsupported):
+            C.compile_function(avm.parse_program(src2), "m")
 
 
 class TestTransactionIntegration:
